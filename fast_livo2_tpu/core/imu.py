@@ -1,0 +1,235 @@
+"""IMU forward propagation + covariance, and batched scan undistortion.
+
+TPU-native re-design of ImuProcess (reference src/IMU_Processing.cpp):
+
+- Forward propagation (reference :322-439) runs as a `lax.scan` over a
+  fixed-size padded batch of IMU intervals. Each step does the midpoint
+  integration of (R, p, v) and the 19x19 covariance update
+  P <- F P F^T + Q, and emits the interval-start pose for undistortion.
+- Backward per-point undistortion (reference :494-539, a sequential
+  pointer walk) becomes one batched gather: every LiDAR point finds its
+  IMU interval by searchsorted on the interval end-offsets, then applies
+  the closed-form segment transform.
+
+Deviation from the reference, by design: for a point inside interval i the
+reference uses the angular/linear rates stored at the interval-start pose,
+which are the rates of interval i-1 (IMU_Processing.cpp:499-508 reads
+`head->gyr/acc` which were written at the *end* of the previous interval).
+We use interval i's own midpoint rates — at least as accurate, and it
+removes the special case at the packet boundary.
+
+The per-packet ragged->fixed batching (reading a deque of IMU samples and
+computing midpoint averages / dt / offsets with the prop_beg/prop_end cut
+rules of :332-372) is inherently tiny host work and lives in
+`prepare_imu_batch` (numpy).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import so3
+from .state import DIM_STATE, GRAVITY, NavState
+
+
+class ImuNoise(NamedTuple):
+    """Continuous-time noise densities and feature toggles (as 0/1 floats
+    so one jitted function serves every config)."""
+
+    cov_gyr: jnp.ndarray  # (3,)
+    cov_acc: jnp.ndarray  # (3,)
+    cov_bias_gyr: jnp.ndarray  # (3,)
+    cov_bias_acc: jnp.ndarray  # (3,)
+    cov_inv_expo: jnp.ndarray  # ()
+    mean_acc_norm: jnp.ndarray  # () |mean static acc|, scales raw acc to m/s^2
+    est_bias: jnp.ndarray  # () 1.0 if ba/bg estimated (disable_bias_est)
+    est_gravity: jnp.ndarray  # () 1.0 if gravity estimated
+    est_exposure: jnp.ndarray  # () 1.0 if exposure estimated
+
+
+def make_noise(acc_cov=0.5, gyr_cov=0.3, b_acc_cov=1e-4, b_gyr_cov=1e-4,
+               inv_expo_cov=0.1, mean_acc_norm=GRAVITY,
+               est_bias=True, est_gravity=True, est_exposure=True) -> ImuNoise:
+    f = jnp.float32
+    return ImuNoise(
+        cov_gyr=jnp.full(3, gyr_cov, f),
+        cov_acc=jnp.full(3, acc_cov, f),
+        cov_bias_gyr=jnp.full(3, b_gyr_cov, f),
+        cov_bias_acc=jnp.full(3, b_acc_cov, f),
+        cov_inv_expo=jnp.asarray(inv_expo_cov, f),
+        mean_acc_norm=jnp.asarray(mean_acc_norm, f),
+        est_bias=jnp.asarray(1.0 if est_bias else 0.0, f),
+        est_gravity=jnp.asarray(1.0 if est_gravity else 0.0, f),
+        est_exposure=jnp.asarray(1.0 if est_exposure else 0.0, f),
+    )
+
+
+class ImuBatch(NamedTuple):
+    """Fixed-size padded batch of IMU integration intervals for one
+    propagation span [prop_beg, prop_end]."""
+
+    gyr: jnp.ndarray  # (K, 3) midpoint angular velocity (raw, rad/s)
+    acc: jnp.ndarray  # (K, 3) midpoint specific force (raw units)
+    dt: jnp.ndarray  # (K,) integration step, 0 for padding
+    offs_end: jnp.ndarray  # (K,) interval end time relative to prop_beg
+    valid: jnp.ndarray  # (K,) 1.0 for real intervals
+
+
+class ImuPoses(NamedTuple):
+    """Per-interval start poses emitted by propagation, consumed by
+    undistortion. Index i describes the state at the *start* of interval i
+    plus that interval's world-frame rates."""
+
+    offs_start: jnp.ndarray  # (K,)
+    offs_end: jnp.ndarray  # (K,)
+    rot: jnp.ndarray  # (K, 3, 3)
+    pos: jnp.ndarray  # (K, 3)
+    vel: jnp.ndarray  # (K, 3)
+    acc_w: jnp.ndarray  # (K, 3) world-frame acceleration over interval i
+    gyr_unbiased: jnp.ndarray  # (K, 3)
+    valid: jnp.ndarray  # (K,)
+
+
+def prepare_imu_batch(stamps: np.ndarray, gyr: np.ndarray, acc: np.ndarray,
+                      prop_beg: float, prop_end: float, max_k: int):
+    """Host-side ragged->fixed batching of one packet's IMU samples.
+
+    `stamps/gyr/acc` must include the last sample of the previous packet at
+    the front (reference pushes `last_imu`, IMU_Processing.cpp:245). The
+    dt/offset cut rules mirror :355-372: the first interval is clipped to
+    start at prop_beg and the last to end at prop_end.
+    """
+    stamps = np.asarray(stamps, np.float64)
+    n = len(stamps) - 1
+    g = np.zeros((max_k, 3), np.float32)
+    a = np.zeros((max_k, 3), np.float32)
+    dt = np.zeros(max_k, np.float32)
+    offs = np.zeros(max_k, np.float32)
+    valid = np.zeros(max_k, np.float32)
+    k = 0
+    for i in range(n):
+        t_head, t_tail = stamps[i], stamps[i + 1]
+        if t_tail < prop_beg:
+            continue
+        if k >= max_k:
+            break
+        g[k] = 0.5 * (gyr[i] + gyr[i + 1])
+        a[k] = 0.5 * (acc[i] + acc[i + 1])
+        if t_head < prop_beg:
+            d = t_tail - prop_beg
+            o = t_tail - prop_beg
+        elif i != n - 1:
+            d = t_tail - t_head
+            o = t_tail - prop_beg
+        else:
+            d = prop_end - t_head
+            o = prop_end - prop_beg
+        dt[k] = max(d, 0.0)
+        offs[k] = o
+        valid[k] = 1.0
+        k += 1
+    # Pad offsets past the end so searchsorted sends no point out of range.
+    if k > 0:
+        offs[k:] = offs[k - 1] + 1e6
+    else:
+        offs[:] = 1e6
+    return ImuBatch(gyr=jnp.asarray(g), acc=jnp.asarray(a), dt=jnp.asarray(dt),
+                    offs_end=jnp.asarray(offs), valid=jnp.asarray(valid))
+
+
+def propagate(state: NavState, cov: jnp.ndarray, batch: ImuBatch, noise: ImuNoise):
+    """Forward-propagate state + covariance through one IMU batch.
+
+    Returns (state_prop, cov_prop, ImuPoses). Mirrors the per-sample loop
+    of IMU_Processing.cpp:327-431 as a lax.scan; padding intervals have
+    dt=0 and are exact no-ops.
+    """
+    f32 = cov.dtype
+    eye19 = jnp.eye(DIM_STATE, dtype=f32)
+
+    def step(carry, inp):
+        R, p, v, P = carry
+        w_raw, a_raw, dt, offs_end, valid = inp
+        w = w_raw - state.bias_g
+        a = a_raw * (GRAVITY / noise.mean_acc_norm) - state.bias_a
+
+        dExp = so3.exp(w, dt)
+        a_skew = so3.skew(a)
+
+        F = eye19
+        F = F.at[0:3, 0:3].set(so3.exp(w, -dt))
+        F = F.at[0:3, 10:13].set(-jnp.eye(3, dtype=f32) * dt * noise.est_bias)
+        F = F.at[3:6, 7:10].set(jnp.eye(3, dtype=f32) * dt)
+        F = F.at[7:10, 0:3].set(-R @ a_skew * dt)
+        F = F.at[7:10, 13:16].set(-R * dt * noise.est_bias)
+        F = F.at[7:10, 16:19].set(jnp.eye(3, dtype=f32) * dt * noise.est_gravity)
+
+        dt2 = dt * dt
+        Q = jnp.zeros((DIM_STATE, DIM_STATE), f32)
+        Q = Q.at[6, 6].set(noise.cov_inv_expo * dt2 * noise.est_exposure)
+        Q = Q.at[0:3, 0:3].set(jnp.diag(noise.cov_gyr) * dt2)
+        Q = Q.at[7:10, 7:10].set(R @ jnp.diag(noise.cov_acc) @ R.T * dt2)
+        Q = Q.at[10:13, 10:13].set(jnp.diag(noise.cov_bias_gyr) * dt2)
+        Q = Q.at[13:16, 13:16].set(jnp.diag(noise.cov_bias_acc) * dt2)
+
+        P_new = F @ P @ F.T + Q
+
+        R_new = R @ dExp
+        acc_w = R_new @ a + state.grav  # reference uses post-step R (:412-415)
+        p_new = p + v * dt + 0.5 * acc_w * dt2
+        v_new = v + acc_w * dt
+
+        pose = (offs_end - dt, offs_end, R, p, v, acc_w, w, valid)
+        return (R_new, p_new, v_new, P_new), pose
+
+    init = (state.rot, state.pos, state.vel, cov)
+    (R_e, p_e, v_e, P_e), poses = jax.lax.scan(
+        step, init, (batch.gyr, batch.acc, batch.dt, batch.offs_end, batch.valid)
+    )
+    state_out = state._replace(rot=so3.normalize_rotation(R_e), pos=p_e, vel=v_e)
+    imu_poses = ImuPoses(offs_start=poses[0], offs_end=poses[1], rot=poses[2],
+                         pos=poses[3], vel=poses[4], acc_w=poses[5],
+                         gyr_unbiased=poses[6], valid=poses[7])
+    return state_out, P_e, imu_poses
+
+
+def undistort(points: jnp.ndarray, t_offs: jnp.ndarray, poses: ImuPoses,
+              state_end: NavState, ext_R: jnp.ndarray, ext_T: jnp.ndarray):
+    """Motion-compensate LiDAR points to the scan-end IMU frame.
+
+    points: (N, 3) in the LiDAR body frame; t_offs: (N,) seconds relative
+    to the propagation start. Replaces the backward walk of
+    IMU_Processing.cpp:494-539 with a batched searchsorted + gather:
+
+        P_comp = extR^T ( R_end^T ( R_i (extR P + extT) + T_ei ) - extT )
+        R_i  = R_head Exp(w_i dt),  dt = t - offs_start_i
+        T_ei = p_head + v_head dt + 0.5 a_i dt^2 - p_end
+    """
+    idx = jnp.clip(jnp.searchsorted(poses.offs_end, t_offs, side="left"), 0,
+                   poses.offs_end.shape[0] - 1)
+    R_h = poses.rot[idx]            # (N, 3, 3)
+    p_h = poses.pos[idx]
+    v_h = poses.vel[idx]
+    a_h = poses.acc_w[idx]
+    w_h = poses.gyr_unbiased[idx]
+    dt = jnp.clip(t_offs - poses.offs_start[idx], 0.0, None)
+
+    R_i = R_h @ so3.exp(w_h * dt[:, None])
+    T_ei = p_h + v_h * dt[:, None] + 0.5 * a_h * dt[:, None] ** 2 - state_end.pos
+
+    p_imu = points @ ext_R.T + ext_T  # body -> IMU frame at sample time
+    p_world_rel = jnp.einsum("nij,nj->ni", R_i, p_imu) + T_ei
+    p_end_imu = p_world_rel @ state_end.rot  # R_end^T applied from the right
+    return (p_end_imu - ext_T) @ ext_R
+
+
+def static_init(acc_samples: np.ndarray, gyr_samples: np.ndarray):
+    """IMU static initialization (reference IMU_init, :104-149): gravity
+    direction from the mean specific force; returns (gravity_vec(3),
+    mean_acc_norm). Host-side numpy."""
+    mean_acc = np.mean(np.asarray(acc_samples, np.float64), axis=0)
+    norm = float(np.linalg.norm(mean_acc))
+    gravity = -mean_acc / norm * GRAVITY
+    return gravity.astype(np.float32), np.float32(norm)

@@ -1,0 +1,1 @@
+from . import so3  # noqa: F401

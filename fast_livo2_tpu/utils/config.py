@@ -1,0 +1,226 @@
+"""Typed configuration tree, YAML-schema-compatible with the reference.
+
+One dataclass per YAML section so the four reference sensor configs
+(config/avia.yaml, NTU_VIRAL.yaml, HILTI22.yaml, MARS_LVIG.yaml — schema
+read in src/LIVMapper.cpp:50-117 and src/voxel_map.cpp:36-53) load nearly
+verbatim. A `tpu:` section (new) holds the fixed-capacity knobs the
+array-programming design needs (pad sizes, hash capacities, pool sizes)
+that the pointer-based reference never had to name.
+"""
+
+from dataclasses import dataclass, field, fields
+from typing import List, Optional
+
+import yaml
+
+
+def _section(cls, data: Optional[dict]):
+    """Build dataclass `cls` from a dict, ignoring unknown keys."""
+    data = data or {}
+    names = {f.name for f in fields(cls)}
+    return cls(**{k: v for k, v in data.items() if k in names})
+
+
+@dataclass
+class CommonConfig:
+    img_topic: str = "/left_camera/image"
+    lid_topic: str = "/livox/lidar"
+    imu_topic: str = "/livox/imu"
+    img_en: int = 1
+    lidar_en: int = 1
+    ros_driver_bug_fix: bool = False
+
+
+@dataclass
+class ExtrinsicConfig:
+    # LiDAR -> IMU (extrinsic_T/R) and LiDAR -> camera (Rcl/Pcl), row-major.
+    extrinsic_T: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    extrinsic_R: List[float] = field(default_factory=lambda: [1, 0, 0, 0, 1, 0, 0, 0, 1])
+    Rcl: List[float] = field(default_factory=lambda: [1, 0, 0, 0, 1, 0, 0, 0, 1])
+    Pcl: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+
+
+@dataclass
+class TimeOffsetConfig:
+    imu_time_offset: float = 0.0
+    img_time_offset: float = 0.0
+    exposure_time_init: float = 0.0
+    lidar_time_offset: float = 0.0
+
+
+@dataclass
+class PreprocessConfig:
+    point_filter_num: int = 1
+    filter_size_surf: float = 0.1
+    lidar_type: int = 1  # LID_TYPE enum, common_lib.h:38-47
+    scan_line: int = 6
+    blind: float = 0.8
+
+
+@dataclass
+class VIOParams:
+    max_iterations: int = 5
+    outlier_threshold: float = 1000.0
+    img_point_cov: float = 100.0
+    patch_size: int = 8
+    patch_pyrimid_level: int = 4  # (sic) reference spelling
+    normal_en: bool = True
+    raycast_en: bool = False
+    inverse_composition_en: bool = False
+    exposure_estimate_en: bool = True
+    inv_expo_cov: float = 0.1
+    grid_size: int = 5
+    grid_n_height: int = 17
+
+
+@dataclass
+class IMUParams:
+    imu_en: bool = True
+    imu_int_frame: int = 30
+    acc_cov: float = 0.5
+    gyr_cov: float = 0.3
+    b_acc_cov: float = 0.0001
+    b_gyr_cov: float = 0.0001
+
+
+@dataclass
+class LIOParams:
+    max_iterations: int = 5
+    dept_err: float = 0.02
+    beam_err: float = 0.05
+    min_eigen_value: float = 0.0025
+    sigma_num: float = 3.0
+    voxel_size: float = 0.5
+    max_layer: int = 2
+    max_points_num: int = 50
+    layer_init_num: List[int] = field(default_factory=lambda: [5, 5, 5, 5, 5])
+
+
+@dataclass
+class LocalMapParams:
+    map_sliding_en: bool = False
+    half_map_size: int = 100
+    sliding_thresh: float = 8.0
+
+
+@dataclass
+class UAVParams:
+    imu_rate_odom: bool = False
+    gravity_align_en: bool = False
+
+
+@dataclass
+class PublishParams:
+    dense_map_en: bool = True
+    pub_effect_point_en: bool = False
+    pub_plane_en: bool = False
+    pub_scan_num: int = 1
+    blind_rgb_points: float = 0.0
+
+
+@dataclass
+class EvoParams:
+    seq_name: str = "sequence"
+    pose_output_en: bool = False
+
+
+@dataclass
+class PCDSaveParams:
+    pcd_save_en: bool = False
+    type: int = 0
+    colmap_output_en: bool = False
+    filter_size_pcd: float = 0.15
+    interval: int = -1
+
+
+@dataclass
+class CameraConfig:
+    """Camera yaml (reference config/camera_*.yaml, loaded by vikit)."""
+
+    cam_model: str = "Pinhole"
+    cam_width: int = 640
+    cam_height: int = 512
+    scale: float = 1.0
+    cam_fx: float = 400.0
+    cam_fy: float = 400.0
+    cam_cx: float = 320.0
+    cam_cy: float = 256.0
+    cam_d0: float = 0.0
+    cam_d1: float = 0.0
+    cam_d2: float = 0.0
+    cam_d3: float = 0.0
+    # Equidistant (fisheye) coefficients
+    k1: float = 0.0
+    k2: float = 0.0
+    k3: float = 0.0
+    k4: float = 0.0
+
+
+@dataclass
+class TPUParams:
+    """Fixed-shape capacities for the array-programming design (new)."""
+
+    max_points_per_scan: int = 32768  # pad size for undistorted scans
+    max_points_down: int = 8192  # pad size after voxel-grid downsample
+    max_imu_per_packet: int = 64  # pad size for the IMU batch per sync packet
+    hash_capacity_log2: int = 18  # per-layer voxel hash slots (2^18 = 262144)
+    hash_probe_len: int = 8  # linear probes before giving up
+    vis_point_capacity: int = 65536  # visual point pool
+    vis_obs_per_point: int = 8  # observation slots per visual point
+    frame_ring: int = 64  # reference-frame ring buffer length
+    max_tracked_points: int = 256  # per-frame visual submap pad size
+    dtype: str = "float32"
+
+
+@dataclass
+class LIVOConfig:
+    common: CommonConfig = field(default_factory=CommonConfig)
+    extrin_calib: ExtrinsicConfig = field(default_factory=ExtrinsicConfig)
+    time_offset: TimeOffsetConfig = field(default_factory=TimeOffsetConfig)
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    vio: VIOParams = field(default_factory=VIOParams)
+    imu: IMUParams = field(default_factory=IMUParams)
+    lio: LIOParams = field(default_factory=LIOParams)
+    local_map: LocalMapParams = field(default_factory=LocalMapParams)
+    uav: UAVParams = field(default_factory=UAVParams)
+    publish: PublishParams = field(default_factory=PublishParams)
+    evo: EvoParams = field(default_factory=EvoParams)
+    pcd_save: PCDSaveParams = field(default_factory=PCDSaveParams)
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    tpu: TPUParams = field(default_factory=TPUParams)
+
+
+_SECTIONS = {
+    "common": CommonConfig,
+    "extrin_calib": ExtrinsicConfig,
+    "time_offset": TimeOffsetConfig,
+    "preprocess": PreprocessConfig,
+    "vio": VIOParams,
+    "imu": IMUParams,
+    "lio": LIOParams,
+    "local_map": LocalMapParams,
+    "uav": UAVParams,
+    "publish": PublishParams,
+    "evo": EvoParams,
+    "pcd_save": PCDSaveParams,
+    "camera": CameraConfig,
+    "tpu": TPUParams,
+}
+
+
+def load_config(sensor_yaml: Optional[str] = None, camera_yaml: Optional[str] = None) -> LIVOConfig:
+    """Load a LIVOConfig from reference-schema YAML file(s).
+
+    `sensor_yaml` follows config/avia.yaml et al.; `camera_yaml` follows
+    config/camera_pinhole.yaml. Either may be omitted for defaults.
+    """
+    raw = {}
+    if sensor_yaml is not None:
+        with open(sensor_yaml) as f:
+            raw = yaml.safe_load(f) or {}
+    kwargs = {name: _section(cls, raw.get(name)) for name, cls in _SECTIONS.items()}
+    if camera_yaml is not None:
+        with open(camera_yaml) as f:
+            cam_raw = yaml.safe_load(f) or {}
+        kwargs["camera"] = _section(CameraConfig, cam_raw)
+    return LIVOConfig(**kwargs)

@@ -1,0 +1,19 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+The container's sitecustomize registers the axon (remote TPU) PJRT plugin
+and forces jax_platforms="axon,cpu" via jax.config at interpreter start,
+so an env var is not enough — we must override through jax.config before
+any backend is initialized. Multi-device tests rely on
+--xla_force_host_platform_device_count (SURVEY.md §4).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
