@@ -1,0 +1,202 @@
+"""LIO: body covariance model, voxel-grid downsample, iterated ESIKF.
+
+The measurement fan-in of VoxelMapManager::StateEstimation (reference
+src/voxel_map.cpp:338-511) as fixed-shape batched ops: every iteration
+re-searches plane correspondences over all points, assembles the weighted
+6-dof normal equations with one einsum, and solves the 19-dim gain. The
+"rematch"/convergence control flow (:477-499) is reproduced with carried
+scalars + masked updates instead of breaks, so the whole iterated update
+is one jitted call.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import so3
+from .state import DIM_STATE, NavState, boxminus, boxplus
+from .voxel_map import PlaneMatch, VoxelMap, VoxelMapConfig, match_planes
+
+
+def calc_body_cov(pts_b: jnp.ndarray, range_inc: float, degree_inc: float):
+    """Per-point covariance from range/bearing noise, batched
+    (reference calcBodyCov, voxel_map.cpp:15-34): variance range_inc^2
+    along the beam, (range * sin(degree_inc))^2 across it."""
+    z = pts_b[:, 2]
+    pts_b = pts_b.at[:, 2].set(jnp.where(z == 0.0, 1e-4, z))
+    r2 = jnp.sum(pts_b * pts_b, axis=-1)
+    rang = jnp.sqrt(r2)
+    direction = pts_b / rang[:, None]
+    range_var = range_inc * range_inc
+    tan_var = jnp.sin(jnp.deg2rad(degree_inc)) ** 2
+    # Orthobasis of the tangent plane (same construction as :26-31).
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+    b1 = jnp.stack([jnp.ones_like(dx), jnp.ones_like(dx), -(dx + dy) / dz], axis=-1)
+    b1 = b1 / jnp.linalg.norm(b1, axis=-1, keepdims=True)
+    b2 = jnp.cross(b1, direction)
+    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
+    N = jnp.stack([b1, b2], axis=-1)  # (n, 3, 2)
+    A = rang[:, None, None] * (so3.skew(direction) @ N)  # (n, 3, 2)
+    cov = (
+        range_var * direction[:, :, None] * direction[:, None, :]
+        + tan_var * (A @ jnp.swapaxes(A, -1, -2))
+    )
+    return cov
+
+
+def voxel_downsample(pts: jnp.ndarray, valid: jnp.ndarray, leaf: float, max_out: int):
+    """Voxel-grid centroid downsample (replaces pcl::VoxelGrid,
+    LIVMapper.cpp:351-352) via lexicographic sort + segment mean.
+
+    Returns (out_pts (max_out, 3), out_valid (max_out,)).
+    """
+    big = jnp.int32(0x7FFFFFF)
+    keys = jnp.floor(pts / leaf).astype(jnp.int32)
+    kx = jnp.where(valid, keys[:, 0], big)
+    ky = jnp.where(valid, keys[:, 1], big)
+    kz = jnp.where(valid, keys[:, 2], big)
+    # Stable lex sort: low key first, then next, then highest.
+    perm = jnp.argsort(kz, stable=True)
+    perm = perm[jnp.argsort(ky[perm], stable=True)]
+    perm = perm[jnp.argsort(kx[perm], stable=True)]
+    skx, sky, skz = kx[perm], ky[perm], kz[perm]
+    sp = pts[perm]
+    sval = valid[perm]
+    new_seg = jnp.ones_like(skx, dtype=bool).at[1:].set(
+        (skx[1:] != skx[:-1]) | (sky[1:] != sky[:-1]) | (skz[1:] != skz[:-1])
+    )
+    seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    seg = jnp.where(sval, seg, max_out)
+    sums = jnp.zeros((max_out, 3), pts.dtype).at[seg].add(sp, mode="drop")
+    cnts = jnp.zeros((max_out,), jnp.float32).at[seg].add(1.0, mode="drop")
+    out_valid = cnts > 0
+    out = sums / jnp.maximum(cnts, 1.0)[:, None]
+    return out, out_valid
+
+
+class LIOResult(NamedTuple):
+    state: NavState
+    cov: jnp.ndarray  # (19, 19) posterior
+    match: PlaneMatch  # final-iteration correspondences
+    pts_w: jnp.ndarray  # (N, 3) posterior world points
+    var_w: jnp.ndarray  # (N, 3, 3) posterior world covariances
+    n_effective: jnp.ndarray  # () int32 matched residual count
+    mean_residual: jnp.ndarray  # () mean |point-to-plane|
+
+
+def lio_update(
+    state_prop: NavState,
+    cov_prop: jnp.ndarray,
+    vmap_state: VoxelMap,
+    pts_body: jnp.ndarray,
+    valid: jnp.ndarray,
+    ext_R: jnp.ndarray,
+    ext_T: jnp.ndarray,
+    map_cfg: VoxelMapConfig,
+    dept_err: float = 0.02,
+    beam_err: float = 0.05,
+    max_iterations: int = 5,
+) -> LIOResult:
+    """Iterated point-to-plane ESIKF update (StateEstimation,
+    voxel_map.cpp:338-511).
+
+    pts_body: (N, 3) undistorted, downsampled points in the LiDAR frame;
+    valid masks padding. The 5-iteration loop is unrolled; each iteration
+    is masked by the carried stop flag, reproducing the reference's
+    rematch/convergence logic exactly but branch-free.
+    """
+    f32 = cov_prop.dtype
+    body_cov = calc_body_cov(pts_body, dept_err, beam_err)
+    pts_imu = pts_body @ ext_R.T + ext_T
+    crossmat = so3.skew(pts_imu)  # (N, 3, 3)
+
+    # P^-1 of the propagated covariance — constant across iterations
+    # (state_.cov only changes at the final covariance update, :489).
+    cov_sym = 0.5 * (cov_prop + cov_prop.T)
+    P_inv = jnp.linalg.inv(cov_sym)
+
+    R_prop_ext = state_prop.rot @ ext_R
+    var_meas_rot = jnp.einsum("ij,njk,lk->nil", R_prop_ext, body_cov, R_prop_ext)
+
+    state = state_prop
+    stop = jnp.asarray(False)
+    rematch = jnp.asarray(0, jnp.int32)
+    G_keep = jnp.zeros((DIM_STATE, DIM_STATE), f32)
+    last_match = None
+
+    for it in range(max_iterations):
+        pts_w = pts_imu @ state.rot.T + state.pos
+        rot_var = cov_prop[0:3, 0:3]
+        t_var = cov_prop[3:6, 3:6]
+        var_w = (
+            jnp.einsum("ij,njk,lk->nil", state.rot, body_cov, state.rot)
+            + crossmat @ rot_var @ jnp.swapaxes(crossmat, -1, -2)
+            + t_var
+        )
+        match = match_planes(vmap_state, pts_w, var_w, valid, map_cfg)
+        last_match = match
+
+        n = match.normal
+        use = match.valid & valid
+        # H row i = [ (p_imu_i)^ R^T n_i ;  n_i ]   (:453-454)
+        A = jnp.einsum("nij,jk,nk->ni", crossmat, state.rot.T, n)
+        H = jnp.concatenate([A, n], axis=-1)  # (N, 6)
+        z = -match.dist
+
+        # Adaptive noise (:425-449) at the propagated state.
+        pw_prop = pts_imu @ state_prop.rot.T + state_prop.pos
+        a_prop = pw_prop - match.center
+        sigma_l = (
+            jnp.einsum("ni,nij,nj->n", a_prop, match.cov_nn, a_prop)
+            + jnp.einsum("ni,nij,nj->n", n, match.cov_qq, n)
+            + jnp.einsum("ni,nij,nj->n", n, var_meas_rot, n)
+        )
+        R_inv = jnp.where(use, 1.0 / (1e-3 + sigma_l), 0.0)
+
+        HTH6 = jnp.einsum("ni,n,nj->ij", H, R_inv, H)
+        HTz6 = jnp.einsum("ni,n,n->i", H, R_inv, z)
+        HTH = jnp.zeros((DIM_STATE, DIM_STATE), f32).at[0:6, 0:6].set(HTH6)
+        K_1 = jnp.linalg.inv(HTH + P_inv)
+        G = jnp.zeros((DIM_STATE, DIM_STATE), f32).at[:, 0:6].set(K_1[:, 0:6] @ HTH6)
+        vec = boxminus(state_prop, state)
+        solution = K_1[:, 0:6] @ HTz6 + vec - G[:, 0:6] @ vec[0:6]
+
+        state_new = boxplus(state, solution)
+        state = jax.tree.map(lambda a, b: jnp.where(stop, a, b), state, state_new)
+        G_keep = jnp.where(stop, G_keep, G)
+
+        rot_add = jnp.linalg.norm(solution[0:3])
+        t_add = jnp.linalg.norm(solution[3:6])
+        converged = (rot_add * 57.3 < 0.01) & (t_add * 100.0 < 0.015)  # :477
+        inc = jnp.where(
+            ~stop & (converged | ((rematch == 0) & (it == max_iterations - 2))), 1, 0
+        )
+        rematch = rematch + inc
+        stop = stop | (rematch >= 2) | (it == max_iterations - 1)
+
+    cov_post = (jnp.eye(DIM_STATE, dtype=f32) - G_keep) @ cov_prop
+
+    # Posterior world points + covariances for the map update
+    # (LIVMapper.cpp:413-423).
+    pts_w = pts_imu @ state.rot.T + state.pos
+    R_ext = state.rot @ ext_R
+    var_w = (
+        jnp.einsum("ij,njk,lk->nil", R_ext, body_cov, R_ext)
+        + crossmat @ cov_post[0:3, 0:3] @ jnp.swapaxes(crossmat, -1, -2)
+        + cov_post[3:6, 3:6]
+    )
+    use = last_match.valid & valid
+    n_eff = jnp.sum(use.astype(jnp.int32))
+    mean_res = jnp.sum(jnp.where(use, jnp.abs(last_match.dist), 0.0)) / jnp.maximum(
+        n_eff.astype(f32), 1.0
+    )
+    return LIOResult(
+        state=state,
+        cov=cov_post,
+        match=last_match,
+        pts_w=pts_w,
+        var_w=var_w,
+        n_effective=n_eff,
+        mean_residual=mean_res,
+    )

@@ -1,0 +1,121 @@
+"""Fixed-capacity open-addressing spatial hash, as pure array ops.
+
+TPU-native replacement for the reference's
+`std::unordered_map<VOXEL_LOCATION, ...>` (voxel_map.h:107-118, vio.h:126):
+keys are int32 voxel coordinates (kx, ky, kz), slots live in dense arrays
+indexed 0..capacity-1, and both lookup and insertion are fixed-shape
+batched ops (a handful of gathers/scatters per probe step), so they can
+run inside one jitted per-frame update.
+
+Collision policy: linear probing with a fixed probe length. There are no
+per-slot deletions (map sliding compacts the whole table instead), so an
+empty slot terminates a probe chain soundly.
+
+Insertion is race-free under SPMD batching: each probe round claims empty
+slots with a scatter-max ticket, winners write their key, and everyone
+re-reads the slot so intra-batch duplicates of the same key resolve to the
+winner's slot in the same round.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+EMPTY = jnp.int32(0x7FFFFFFF)
+
+# Large primes for the 3D spatial hash (standard Teschner-style mixing).
+_P1, _P2, _P3 = 73856093, 19349669, 83492791
+
+
+class HashTable(NamedTuple):
+    """Key storage only; value arrays are owned by the caller and indexed
+    by the slot ids this module returns."""
+
+    kx: jnp.ndarray  # (C,) int32, EMPTY when free
+    ky: jnp.ndarray  # (C,) int32
+    kz: jnp.ndarray  # (C,) int32
+
+
+def make_table(capacity: int) -> HashTable:
+    # Three distinct buffers (a shared one breaks donation at jit edges).
+    return HashTable(
+        kx=jnp.full((capacity,), EMPTY, jnp.int32),
+        ky=jnp.full((capacity,), EMPTY, jnp.int32),
+        kz=jnp.full((capacity,), EMPTY, jnp.int32),
+    )
+
+
+def _bucket(kx, ky, kz, capacity):
+    h = (kx * _P1) ^ (ky * _P2) ^ (kz * _P3)
+    return jnp.bitwise_and(h, capacity - 1)
+
+
+def voxel_key(points: jnp.ndarray, voxel_size) -> jnp.ndarray:
+    """World position (N, 3) -> int32 voxel key (N, 3) by flooring
+    (reference key rule, voxel_map.cpp:561-567)."""
+    return jnp.floor(points / voxel_size).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("probes",))
+def lookup(table: HashTable, keys: jnp.ndarray, probes: int = 8) -> jnp.ndarray:
+    """Find slots for a batch of keys (N, 3). Returns (N,) int32 slot ids,
+    -1 where the key is absent."""
+    capacity = table.kx.shape[0]
+    kx, ky, kz = keys[:, 0], keys[:, 1], keys[:, 2]
+    h = _bucket(kx, ky, kz, capacity)
+    slot_out = jnp.full(kx.shape, -1, jnp.int32)
+    open_chain = jnp.ones(kx.shape, dtype=bool)  # probe chain not terminated
+    for j in range(probes):
+        s = jnp.bitwise_and(h + j, capacity - 1)
+        tx, ty, tz = table.kx[s], table.ky[s], table.kz[s]
+        found = (tx == kx) & (ty == ky) & (tz == kz)
+        hit = open_chain & found
+        slot_out = jnp.where(hit, s, slot_out)
+        # An empty slot ends the chain: the key cannot be further along.
+        open_chain = open_chain & ~found & (tx != EMPTY)
+    return slot_out
+
+
+@partial(jax.jit, static_argnames=("probes",))
+def lookup_or_insert(table: HashTable, keys: jnp.ndarray, valid: jnp.ndarray,
+                     probes: int = 8):
+    """Find-or-claim slots for a batch of keys.
+
+    valid: (N,) bool — padding lanes never insert. Returns
+    (new_table, slots) with slots (N,) int32, -1 only when the probe
+    window was exhausted (overflow; callers drop those lanes).
+    """
+    capacity = table.kx.shape[0]
+    kx, ky, kz = keys[:, 0], keys[:, 1], keys[:, 2]
+    n = kx.shape[0]
+    h = _bucket(kx, ky, kz, capacity)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    slot_out = jnp.full((n,), -1, jnp.int32)
+    unresolved = valid
+    tkx, tky, tkz = table.kx, table.ky, table.kz
+    for j in range(probes):
+        s = jnp.bitwise_and(h + j, capacity - 1)
+        tx = tkx[s]
+        found = (tx == kx) & (tky[s] == ky) & (tkz[s] == kz)
+        hit = unresolved & found
+        slot_out = jnp.where(hit, s, slot_out)
+        unresolved = unresolved & ~found
+        # Claim empty slots: one winner per slot via scatter-max ticket.
+        cand = unresolved & (tx == EMPTY)
+        ticket = jnp.where(cand, lane, -1)
+        s_or_oob = jnp.where(cand, s, capacity)  # drop non-candidates
+        claims = jnp.full((capacity,), -1, jnp.int32).at[s_or_oob].max(
+            ticket, mode="drop"
+        )
+        won = cand & (claims[s] == lane)
+        ws = jnp.where(won, s, capacity)
+        tkx = tkx.at[ws].set(kx, mode="drop")
+        tky = tky.at[ws].set(ky, mode="drop")
+        tkz = tkz.at[ws].set(kz, mode="drop")
+        # Re-read: winners and same-key losers both resolve here.
+        refound = cand & (tkx[s] == kx) & (tky[s] == ky) & (tkz[s] == kz)
+        slot_out = jnp.where(refound, s, slot_out)
+        unresolved = unresolved & ~refound
+    return HashTable(kx=tkx, ky=tky, kz=tkz), slot_out

@@ -1,0 +1,145 @@
+"""Voxel hash + plane map + LIO ESIKF tests on synthetic planar scenes."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fast_livo2_tpu.ops import voxel_hash
+from fast_livo2_tpu.core import voxel_map as vm
+from fast_livo2_tpu.core import lio
+from fast_livo2_tpu.core.state import boxminus, boxplus, init_cov, init_state
+
+
+def test_hash_insert_lookup_roundtrip():
+    table = voxel_hash.make_table(1024)
+    rng = np.random.default_rng(0)
+    keys = rng.integers(-50, 50, size=(300, 3)).astype(np.int32)
+    valid = jnp.ones(300, bool)
+    table, slots = voxel_hash.lookup_or_insert(table, jnp.asarray(keys), valid)
+    slots = np.asarray(slots)
+    assert (slots >= 0).all()
+    # Duplicate keys must map to the same slot.
+    back = np.asarray(voxel_hash.lookup(table, jnp.asarray(keys)))
+    np.testing.assert_array_equal(slots, back)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    for u in range(len(uniq)):
+        assert len(set(slots[inv == u])) == 1
+    # Unknown keys miss.
+    miss = np.asarray(voxel_hash.lookup(table, jnp.asarray([[999, 999, 999]], jnp.int32)))
+    assert miss[0] == -1
+
+
+def _plane_points(rng, n, normal, d, extent=4.0, noise=0.005):
+    """Sample points on plane n·p + d = 0."""
+    normal = np.asarray(normal, np.float64)
+    normal = normal / np.linalg.norm(normal)
+    # basis
+    a = np.array([1.0, 0, 0]) if abs(normal[0]) < 0.9 else np.array([0, 1.0, 0])
+    b1 = np.cross(normal, a)
+    b1 /= np.linalg.norm(b1)
+    b2 = np.cross(normal, b1)
+    uv = rng.uniform(-extent, extent, size=(n, 2))
+    p0 = -d * normal
+    pts = p0 + uv[:, :1] * b1 + uv[:, 1:] * b2
+    pts += rng.normal(size=(n, 3)) * noise
+    return pts.astype(np.float32)
+
+
+def _scene(rng, n_per=3000):
+    """Floor + two walls, in front of the origin."""
+    pts = np.concatenate(
+        [
+            _plane_points(rng, n_per, [0, 0, 1], 1.0),  # floor z=-1... n·p+d=0 -> z=-1
+            _plane_points(rng, n_per, [1, 0, 0], -5.0),  # wall x=5
+            _plane_points(rng, n_per, [0, 1, 0], -5.0),  # wall y=5
+        ]
+    )
+    return pts
+
+
+MAP_CFG = vm.VoxelMapConfig(voxel_size=0.5, n_layers=2, capacity_log2=14,
+                            planner_threshold=0.0025, layer_init_num=(5, 5))
+
+
+def test_map_build_and_match():
+    rng = np.random.default_rng(1)
+    pts_w = jnp.asarray(_scene(rng, 9000))
+    n = pts_w.shape[0]
+    var_w = jnp.tile(jnp.eye(3) * 1e-4, (n, 1, 1))
+    valid = jnp.ones(n, bool)
+
+    m = vm.make_map(MAP_CFG)
+    m = vm.update_map(m, pts_w, var_w, valid, MAP_CFG)
+
+    # Fresh samples from the same planes must match with tiny residuals.
+    rng2 = np.random.default_rng(2)
+    q = jnp.asarray(_scene(rng2, 500))
+    vq = jnp.tile(jnp.eye(3) * 1e-4, (q.shape[0], 1, 1))
+    match = vm.match_planes(m, q, vq, jnp.ones(q.shape[0], bool), MAP_CFG)
+    frac = float(jnp.mean(match.valid.astype(jnp.float32)))
+    assert frac > 0.85, f"only {frac:.2%} matched"
+    res = np.asarray(jnp.abs(match.dist))[np.asarray(match.valid)]
+    assert np.mean(res) < 0.02, np.mean(res)
+    # Matched normals align with a true plane normal.
+    nrm = np.asarray(match.normal)[np.asarray(match.valid)]
+    alignment = np.max(np.abs(nrm @ np.array([[0, 0, 1.0], [1, 0, 0], [0, 1, 0]]).T), axis=1)
+    assert np.mean(alignment) > 0.98
+
+
+def test_lio_update_converges_to_true_pose():
+    rng = np.random.default_rng(3)
+    pts_w = jnp.asarray(_scene(rng))
+    n = pts_w.shape[0]
+    var_w = jnp.tile(jnp.eye(3) * 1e-4, (n, 1, 1))
+    m = vm.make_map(MAP_CFG)
+    m = vm.update_map(m, pts_w, var_w, jnp.ones(n, bool), MAP_CFG)
+
+    # True pose: small offset from origin; body points = R^T (p_w - t)
+    true_delta = np.zeros(19, np.float32)
+    true_delta[0:3] = [0.02, -0.015, 0.03]   # rotation vector
+    true_delta[3:6] = [0.05, -0.04, 0.03]    # translation
+    s_true = boxplus(init_state(), jnp.asarray(true_delta))
+
+    rng2 = np.random.default_rng(4)
+    sample_w = jnp.asarray(_scene(rng2, 1200))
+    pts_body = (sample_w - s_true.pos) @ s_true.rot  # R^T (p - t), row convention
+
+    # Propagated state = identity (the wrong pose); the update must pull it
+    # to the true pose.
+    state_prop = init_state()
+    cov_prop = init_cov()
+    res = lio.lio_update(
+        state_prop, cov_prop, m, pts_body, jnp.ones(pts_body.shape[0], bool),
+        jnp.eye(3), jnp.zeros(3), MAP_CFG, max_iterations=5,
+    )
+    err_before = np.linalg.norm(np.asarray(boxminus(s_true, state_prop))[:6])
+    err_after = np.linalg.norm(np.asarray(boxminus(s_true, res.state))[:6])
+    assert err_after < 0.2 * err_before, (err_before, err_after)
+    assert err_after < 0.01, err_after
+    assert int(res.n_effective) > 2000
+    # Posterior covariance must shrink in the updated block.
+    assert float(res.cov[3, 3]) < float(cov_prop[3, 3])
+
+
+def test_voxel_downsample():
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-2, 2, size=(5000, 3)).astype(np.float32)
+    valid = jnp.ones(5000, bool)
+    out, out_valid = lio.voxel_downsample(jnp.asarray(pts), valid, 0.5, 2048)
+    nv = int(jnp.sum(out_valid))
+    # 8 voxels per axis -> at most 512 occupied cells... 4/0.5=8 per axis
+    assert 400 < nv <= 512
+    o = np.asarray(out)[np.asarray(out_valid)]
+    k = np.floor(o / 0.5).astype(int)
+    uniq = np.unique(k, axis=0)
+    assert len(uniq) == nv  # one centroid per occupied voxel
+    # Centroids must lie inside their voxel.
+    assert (o >= k * 0.5 - 1e-5).all() and (o <= (k + 1) * 0.5 + 1e-5).all()
+
+
+def test_downsample_respects_validity_mask():
+    pts = np.zeros((100, 3), np.float32)
+    pts[:50] = [10, 10, 10]
+    valid = jnp.asarray([True] * 50 + [False] * 50)
+    out, out_valid = lio.voxel_downsample(jnp.asarray(pts), valid, 0.5, 64)
+    assert int(jnp.sum(out_valid)) == 1
+    np.testing.assert_allclose(np.asarray(out[0]), [10, 10, 10], atol=1e-5)
