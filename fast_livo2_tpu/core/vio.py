@@ -1,0 +1,799 @@
+"""Sparse-direct visual-inertial odometry as fixed-shape batched ops.
+
+TPU-native re-design of VIOManager (reference src/vio.cpp, include/vio.h):
+
+- The visual sparse map (`unordered_map<VOXEL_LOCATION, VOXEL_POINTS*>` of
+  heap VisualPoints with Feature lists, vio.cpp:227-250) becomes a
+  fixed-capacity structure-of-arrays pool: P point slots x K observation
+  slots, plus a ring buffer of the last F grayscale frames that
+  observations reference for warping. Ring eviction invalidates the
+  observations sourced from the evicted frame (the reference instead keeps
+  every reference image alive via cv::Mat refcounts — the ring bounds
+  memory; K and F are config).
+- Per-frame visible-point retrieval (retrieveFromVisualSparseMap,
+  vio.cpp:352-782) becomes: project *all* pool points, pick the nearest
+  per image grid cell by scatter-min, depth-continuity-check against a
+  scatter-min rasterized depth map, select the reference patch, warp it by
+  the plane-normal homography, and outlier-gate — all batched over the
+  fixed grid-cell count. Projection-based retrieval subsumes the
+  reference's scan-voxel iteration + FOV checks.
+- The coarse-to-fine iterated photometric ESIKF (updateState,
+  vio.cpp:1520-1688) runs per pyramid level with the error-rollback rule
+  as masked updates; each iteration is one batched
+  sample-gradients/Jacobian-chain/7x7-normal-equation pass.
+- Map maintenance (generateVisualMapPoints :804-906, updateVisualMapPoints
+  :908-967, updateReferencePatch :969-1100) becomes grid-scatter argmax
+  for new points, masked observation appends with min-score eviction, and
+  batched NCC re-scoring + normal refinement from the LIO plane map.
+
+Not implemented yet (config-gated off in all bundled configs): the
+raycast recovery module (vio.cpp:80-126, :487-591) and the
+inverse-compositional variant (:1327-1518).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import camera as cam_mod
+from ..ops import image as img_ops
+from ..ops import so3
+from .state import DIM_STATE, NavState, boxminus, boxplus
+from .voxel_map import VoxelMap, VoxelMapConfig, query_plane
+
+
+class VIOConfig(NamedTuple):
+    """Static VIO configuration (compile-time)."""
+
+    # camera grid
+    grid_size: int = 30  # px per cell (derived: height / grid_n_height)
+    grid_n_width: int = 22
+    grid_n_height: int = 18
+    # patches
+    patch_size: int = 8
+    pyramid_levels: int = 3  # patch_pyrimid_level
+    max_obs: int = 8  # observation slots per point (reference caps 30)
+    pool_capacity: int = 65536
+    frame_ring: int = 64
+    # filter
+    max_iterations: int = 5
+    img_point_cov: float = 100.0
+    outlier_threshold: float = 1000.0
+    exposure_estimate_en: bool = True
+    ncc_en: bool = False
+    ncc_thre: float = 0.0
+    # map maintenance
+    select_obs_gap_p: float = 0.5  # delta_p threshold (:939)
+    select_obs_gap_theta: float = 0.3
+    select_obs_gap_px: float = 40.0
+
+
+def n_cells(cfg: VIOConfig) -> int:
+    return cfg.grid_n_width * cfg.grid_n_height
+
+
+def derive_grid(cam: cam_mod.Camera, grid_size: int, grid_n_height: int):
+    """Reference grid geometry (initializeVIO, vio.cpp:67-78)."""
+    if grid_size > 10:
+        gs = grid_size
+    else:
+        gs = cam.height // grid_n_height
+    gnw = -(-cam.width // gs)
+    gnh = -(-cam.height // gs)
+    return gs, gnw, gnh
+
+
+def border_px(cfg: VIOConfig) -> int:
+    # (patch_size_half + 1) << pyramid_levels (vio.cpp:154)
+    return (cfg.patch_size // 2 + 1) * (1 << cfg.pyramid_levels)
+
+
+class VisualPool(NamedTuple):
+    pos: jnp.ndarray  # (P, 3) world
+    normal: jnp.ndarray  # (P, 3)
+    prev_normal: jnp.ndarray  # (P, 3)
+    cov: jnp.ndarray  # (P, 3, 3) world covariance at creation
+    valid: jnp.ndarray  # (P,) bool
+    converged: jnp.ndarray  # (P,) bool
+    has_ref: jnp.ndarray  # (P,) bool
+    ref_slot: jnp.ndarray  # (P,) int32
+    alloc: jnp.ndarray  # () int32 next allocation cursor (wraps)
+    obs_valid: jnp.ndarray  # (P, K) bool
+    obs_px: jnp.ndarray  # (P, K, 2)
+    obs_R: jnp.ndarray  # (P, K, 3, 3) camera-from-world at capture
+    obs_t: jnp.ndarray  # (P, K, 3)
+    obs_expo: jnp.ndarray  # (P, K) inverse exposure at capture
+    obs_frame_slot: jnp.ndarray  # (P, K) int32 ring slot
+    obs_frame_id: jnp.ndarray  # (P, K) int32 global frame id
+    obs_patch: jnp.ndarray  # (P, K, patch²) level-0 patch at capture
+    obs_mean: jnp.ndarray  # (P, K) patch mean
+    obs_score: jnp.ndarray  # (P, K) reference score (NCC + view angle)
+
+
+class FrameRing(NamedTuple):
+    imgs: jnp.ndarray  # (F, H, W) float32 grayscale
+    ids: jnp.ndarray  # (F,) int32 global frame id, -1 empty
+
+
+def make_pool(cfg: VIOConfig) -> VisualPool:
+    P, K, ps2 = cfg.pool_capacity, cfg.max_obs, cfg.patch_size**2
+    f = jnp.float32
+    return VisualPool(
+        pos=jnp.zeros((P, 3), f),
+        normal=jnp.zeros((P, 3), f),
+        prev_normal=jnp.zeros((P, 3), f),
+        cov=jnp.zeros((P, 3, 3), f),
+        valid=jnp.zeros(P, bool),
+        converged=jnp.zeros(P, bool),
+        has_ref=jnp.zeros(P, bool),
+        ref_slot=jnp.zeros(P, jnp.int32),
+        alloc=jnp.asarray(0, jnp.int32),
+        obs_valid=jnp.zeros((P, K), bool),
+        obs_px=jnp.zeros((P, K, 2), f),
+        obs_R=jnp.zeros((P, K, 3, 3), f),
+        obs_t=jnp.zeros((P, K, 3), f),
+        obs_expo=jnp.zeros((P, K), f),
+        obs_frame_slot=jnp.full((P, K), -1, jnp.int32),
+        obs_frame_id=jnp.full((P, K), -1, jnp.int32),
+        obs_patch=jnp.zeros((P, K, ps2), f),
+        obs_mean=jnp.zeros((P, K), f),
+        obs_score=jnp.zeros((P, K), f),
+    )
+
+
+def make_ring(cfg: VIOConfig, cam: cam_mod.Camera) -> FrameRing:
+    return FrameRing(
+        imgs=jnp.zeros((cfg.frame_ring, cam.height, cam.width), jnp.float32),
+        ids=jnp.full((cfg.frame_ring,), -1, jnp.int32),
+    )
+
+
+def camera_pose(state: NavState, Rci, Pci):
+    """IMU state -> camera-from-world pose (updateFrameState,
+    vio.cpp:1690-1697)."""
+    Rcw = Rci @ state.rot.T
+    Pcw = -Rcw @ state.pos + Pci
+    return Rcw, Pcw
+
+
+def _cell_argbest(cell: jnp.ndarray, key: jnp.ndarray, valid: jnp.ndarray,
+                  num_cells: int, mode: str):
+    """Per-cell argmin/argmax via scatter + tie-break on max lane index.
+    Returns (num_cells,) winning lane index or -1."""
+    big = jnp.float32(3e38)
+    k = jnp.where(valid, key, big if mode == "min" else -big)
+    tgt = jnp.where(valid, cell, num_cells)
+    if mode == "min":
+        best = jnp.full((num_cells,), big).at[tgt].min(k, mode="drop")
+        is_best = valid & (k <= best[cell])
+    else:
+        best = jnp.full((num_cells,), -big).at[tgt].max(k, mode="drop")
+        is_best = valid & (k >= best[cell])
+    lane = jnp.arange(cell.shape[0], dtype=jnp.int32)
+    idx = jnp.where(is_best, lane, -1)
+    return jnp.full((num_cells,), -1, jnp.int32).at[tgt].max(idx, mode="drop")
+
+
+class Submap(NamedTuple):
+    """Per-frame tracked visual submap (SubSparseMap, vio.h:50-77),
+    padded to the grid cell count."""
+
+    valid: jnp.ndarray  # (M,)
+    point_idx: jnp.ndarray  # (M,) pool index
+    pos: jnp.ndarray  # (M, 3)
+    search_level: jnp.ndarray  # (M,) int32
+    warp_patch: jnp.ndarray  # (M, L, patch²) warped reference patches
+    ref_expo: jnp.ndarray  # (M,)
+    propa_error: jnp.ndarray  # (M,) pre-update photometric error
+
+
+def rasterize_depth(cam: cam_mod.Camera, Rcw, Pcw, pg_w, pg_valid, border):
+    """Scatter-min depth image from the current scan (reference writes
+    last-wins at vio.cpp:386-428; min is strictly better for occlusion)."""
+    pc = pg_w @ Rcw.T + Pcw
+    px = cam_mod.world2cam(cam, pc)
+    ok = pg_valid & (pc[:, 2] > 0) & cam_mod.in_frame(cam, px, border)
+    col = jnp.clip(px[:, 0].astype(jnp.int32), 0, cam.width - 1)
+    row = jnp.clip(px[:, 1].astype(jnp.int32), 0, cam.height - 1)
+    flat = jnp.where(ok, row * cam.width + col, cam.height * cam.width)
+    depth = jnp.full((cam.height * cam.width,), 0.0, jnp.float32)
+    big = jnp.float32(3e38)
+    depth = jnp.full((cam.height * cam.width,), big).at[flat].min(
+        jnp.where(ok, pc[:, 2], big), mode="drop"
+    )
+    depth = jnp.where(depth >= big, 0.0, depth)
+    return depth.reshape(cam.height, cam.width)
+
+
+def _warp_homography(cam, ring, pool, pidx, ref_slot, Rcw, Pcw, cfg: VIOConfig):
+    """Reference-patch affine warp via plane-normal homography
+    (getWarpMatrixAffineHomography + getBestSearchLevel + warpAffine,
+    vio.cpp:252-331). Returns (search_level (M,), warp (M, L, patch²),
+    ok (M,))."""
+    ps = cfg.patch_size
+    half = ps // 2
+    M = pidx.shape[0]
+    R_ref = pool.obs_R[pidx, ref_slot]  # (M, 3, 3)
+    t_ref = pool.obs_t[pidx, ref_slot]
+    px_ref = pool.obs_px[pidx, ref_slot]
+    pos = pool.pos[pidx]
+    normal = pool.normal[pidx]
+
+    pf = jnp.einsum("mij,mj->mi", R_ref, pos) + t_ref  # point in ref cam
+    norm_ref = jnp.einsum("mij,mj->mi", R_ref, normal)
+    norm_ref = norm_ref / jnp.maximum(jnp.linalg.norm(norm_ref, axis=-1, keepdims=True), 1e-9)
+
+    # T_cur_ref = T_cur_w ∘ T_w_ref
+    R_cr = Rcw @ jnp.swapaxes(R_ref, -1, -2)  # (M, 3, 3)
+    t_cr = Pcw - jnp.einsum("mij,mj->mi", R_cr, t_ref)
+    # t of T_cur_ref.inverse() = -R_cr^T t_cr (cur cam origin in ref frame)
+    t_inv = -jnp.einsum("mji,mj->mi", R_cr, t_cr)
+    nd = jnp.sum(norm_ref * pf, axis=-1)  # n·x
+    H = R_cr @ (
+        nd[:, None, None] * jnp.eye(3) - t_inv[:, :, None] * norm_ref[:, None, :]
+    )
+
+    f_du = cam_mod.cam2world(cam, px_ref + jnp.asarray([4.0, 0.0]))
+    f_dv = cam_mod.cam2world(cam, px_ref + jnp.asarray([0.0, 4.0]))
+    f_c = jnp.einsum("mij,mj->mi", H, cam_mod.cam2world(cam, px_ref))
+    f_duc = jnp.einsum("mij,mj->mi", H, f_du)
+    f_dvc = jnp.einsum("mij,mj->mi", H, f_dv)
+    px_c = cam_mod.world2cam(cam, f_c)
+    A = jnp.stack(
+        [
+            (cam_mod.world2cam(cam, f_duc) - px_c) / 4.0,
+            (cam_mod.world2cam(cam, f_dvc) - px_c) / 4.0,
+        ],
+        axis=-1,
+    )  # (M, 2, 2) columns [du, dv]
+
+    # Best search level: halve (det/4) while det > 3, max level 2 (:320-331)
+    D = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    search = jnp.zeros(M, jnp.int32)
+    Dw = D
+    for _ in range(2):
+        step = Dw > 3.0
+        search = search + step.astype(jnp.int32)
+        Dw = jnp.where(step, Dw * 0.25, Dw)
+
+    # Inverse affine for ref-side sampling
+    det = D
+    ok = jnp.abs(det) > 1e-8
+    det_safe = jnp.where(ok, det, 1.0)
+    Ainv = (
+        jnp.stack(
+            [
+                jnp.stack([A[:, 1, 1], -A[:, 0, 1]], axis=-1),
+                jnp.stack([-A[:, 1, 0], A[:, 0, 0]], axis=-1),
+            ],
+            axis=-2,
+        )
+        / det_safe[:, None, None]
+    )
+
+    dx, dy = img_ops.patch_offsets(ps)  # (ps²,) column/row offsets
+    offs = jnp.stack([dx, dy], axis=-1).astype(jnp.float32)  # (ps², 2)
+    slot = pool.obs_frame_slot[pidx, ref_slot]  # (M,)
+    ref_ok = ok & (slot >= 0) & (ring.ids[jnp.clip(slot, 0, None)] == pool.obs_frame_id[pidx, ref_slot])
+    slot_c = jnp.clip(slot, 0, cfg.frame_ring - 1)
+
+    h_img, w_img = ring.imgs.shape[1], ring.imgs.shape[2]
+    warps = []
+    for lvl in range(cfg.pyramid_levels):
+        sc = (1 << lvl) * (2.0**search.astype(jnp.float32))  # (M,)
+        px_patch = offs[None, :, :] * sc[:, None, None]  # (M, ps², 2)
+        samp = jnp.einsum("mij,mpj->mpi", Ainv, px_patch) + px_ref[:, None, :]
+        u, vv = samp[..., 0], samp[..., 1]
+        inb = (u >= 0) & (vv >= 0) & (u < w_img - 1) & (vv < h_img - 1)
+        x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w_img - 2)
+        y0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, h_img - 2)
+        su = u - x0
+        sv = vv - y0
+        g = lambda xo, yo: ring.imgs[slot_c[:, None], y0 + yo, x0 + xo]
+        val = (
+            (1 - su) * (1 - sv) * g(0, 0)
+            + su * (1 - sv) * g(1, 0)
+            + (1 - su) * sv * g(0, 1)
+            + su * sv * g(1, 1)
+        )
+        warps.append(jnp.where(inb, val, 0.0))
+    warp = jnp.stack(warps, axis=1)  # (M, L, ps²)
+    return search, warp, ref_ok
+
+
+def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
+             cam: cam_mod.Camera, Rci, Pci, cfg: VIOConfig):
+    """Build the tracked submap for this frame (retrieveFromVisualSparseMap,
+    vio.cpp:352-782). Returns (submap, pool, cell_occupied)."""
+    ps = cfg.patch_size
+    M = n_cells(cfg)
+    Rcw, Pcw = camera_pose(state, Rci, Pci)
+    cam_pos = -Rcw.T @ Pcw
+
+    pc = pool.pos @ Rcw.T + Pcw
+    px = cam_mod.world2cam(cam, pc)
+    n_obs = jnp.sum(pool.obs_valid, axis=1)
+    cand = (
+        pool.valid
+        & (n_obs > 0)
+        & (pc[:, 2] > 0)
+        & cam_mod.in_frame(cam, px, border_px(cfg))
+    )
+    cell = (
+        jnp.clip(px[:, 1].astype(jnp.int32) // cfg.grid_size, 0, cfg.grid_n_height - 1)
+        * cfg.grid_n_width
+        + jnp.clip(px[:, 0].astype(jnp.int32) // cfg.grid_size, 0, cfg.grid_n_width - 1)
+    )
+    dist = jnp.linalg.norm(pool.pos - cam_pos, axis=-1)
+    win = _cell_argbest(cell, dist, cand, M, "min")  # (M,) pool idx or -1
+
+    sel = win >= 0
+    pidx = jnp.where(sel, win, 0)
+    sel_px = px[pidx]
+    sel_pc = pc[pidx]
+
+    # Depth continuity (vio.cpp:619-640): any rasterized scan depth within
+    # the patch that differs from the point depth by >0.5m kills the cell.
+    dxo, dyo = img_ops.patch_offsets(ps + 1)  # ±half inclusive → 9x9
+    cx = jnp.clip(sel_px[:, 0].astype(jnp.int32)[:, None] + dxo[None, :], 0, cam.width - 1)
+    cy = jnp.clip(sel_px[:, 1].astype(jnp.int32)[:, None] + dyo[None, :], 0, cam.height - 1)
+    dpatch = depth_img[cy, cx]
+    bad_depth = jnp.any(
+        (dpatch > 0) & (jnp.abs(sel_pc[:, 2:3] - dpatch) > 0.5), axis=1
+    )
+    sel = sel & ~bad_depth
+
+    # --- Reference patch selection (normal_en path, vio.cpp:653-693) ---
+    K = cfg.max_obs
+    obs_valid = pool.obs_valid[pidx]  # (M, K)
+    n_obs_sel = jnp.sum(obs_valid, axis=1)
+    patches = pool.obs_patch[pidx]  # (M, K, ps²)
+    diff = patches[:, :, None, :] - patches[:, None, :, :]
+    perr = jnp.sum(diff * diff, axis=-1)  # (M, K, K)
+    pair_ok = obs_valid[:, :, None] & obs_valid[:, None, :]
+    eye = jnp.eye(K, dtype=bool)
+    pair_ok = pair_ok & ~eye
+    cnt = jnp.maximum(jnp.sum(pair_ok, axis=-1), 1)
+    mean_err = jnp.where(
+        obs_valid, jnp.sum(jnp.where(pair_ok, perr, 0.0), axis=-1) / cnt, 3e38
+    )
+    best_obs = jnp.argmin(mean_err, axis=-1).astype(jnp.int32)
+    first_obs = jnp.argmax(obs_valid, axis=-1).astype(jnp.int32)
+    had_ref = pool.has_ref[pidx]
+    ref_valid_still = jnp.take_along_axis(
+        obs_valid, pool.ref_slot[pidx][:, None], axis=1
+    )[:, 0]
+    ref_slot = jnp.where(
+        had_ref & ref_valid_still,
+        pool.ref_slot[pidx],
+        jnp.where(n_obs_sel == 1, first_obs, best_obs),
+    )
+    # persist chosen refs (pt->ref_patch caching, :689-692)
+    widx = jnp.where(sel, pidx, cfg.pool_capacity)
+    pool = pool._replace(
+        ref_slot=pool.ref_slot.at[widx].set(ref_slot, mode="drop"),
+        has_ref=pool.has_ref.at[widx].set(True, mode="drop"),
+    )
+
+    search, warp, warp_ok = _warp_homography(cam, ring, pool, pidx, ref_slot, Rcw, Pcw, cfg)
+    sel = sel & warp_ok
+
+    # Outlier gate on exposure-normalized level-0 error (:744-763)
+    cur_patch = img_ops.sample_patches(img, sel_px, jnp.ones(M, jnp.int32), ps)
+    ref_expo = pool.obs_expo[pidx, ref_slot]
+    e = ref_expo[:, None] * warp[:, 0, :] - state.inv_expo * cur_patch
+    err0 = jnp.sum(e * e, axis=-1)
+    sel = sel & (err0 <= cfg.outlier_threshold * ps * ps)
+    if cfg.ncc_en:
+        a = warp[:, 0, :] - jnp.mean(warp[:, 0, :], axis=-1, keepdims=True)
+        b = cur_patch - jnp.mean(cur_patch, axis=-1, keepdims=True)
+        ncc = jnp.sum(a * b, axis=-1) / jnp.sqrt(
+            jnp.sum(a * a, axis=-1) * jnp.sum(b * b, axis=-1) + 1e-10
+        )
+        sel = sel & (ncc >= cfg.ncc_thre)
+
+    submap = Submap(
+        valid=sel,
+        point_idx=pidx,
+        pos=pool.pos[pidx],
+        search_level=search,
+        warp_patch=warp,
+        ref_expo=ref_expo,
+        propa_error=err0,
+    )
+    return submap, pool
+
+
+def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
+                       cam: cam_mod.Camera, Rci, Pci, cfg: VIOConfig):
+    """Coarse-to-fine iterated photometric ESIKF
+    (computeJacobianAndUpdateEKF + updateState, vio.cpp:784-802,
+    :1520-1688). Returns (state, cov, mean_error)."""
+    f32 = cov_prop.dtype
+    ps = cfg.patch_size
+    M = submap.valid.shape[0]
+    expo_col = 1.0 if cfg.exposure_estimate_en else 0.0
+
+    Pic = -Rci.T @ Pci
+    Jdphi_dR = Rci
+    Jdp_dR = -Rci @ so3.skew(Pic)
+
+    cov_sym = 0.5 * (cov_prop + cov_prop.T)
+    P_scaled_inv = jnp.linalg.inv(cov_sym / cfg.img_point_cov)
+
+    n_meas = jnp.maximum(jnp.sum(submap.valid) * ps * ps, 1).astype(f32)
+
+    state = state_prop
+    G_keep = jnp.zeros((DIM_STATE, DIM_STATE), f32)
+    final_err = jnp.asarray(0.0, f32)
+
+    for level in reversed(range(cfg.pyramid_levels)):
+        last_error = jnp.asarray(3e38, f32)
+        old_state = state  # state that produced last_error (pre-update)
+        stop = jnp.asarray(False)
+        for it in range(cfg.max_iterations):
+            Rcw, Pcw = camera_pose(state, Rci, Pci)
+            Jdp_dt = Rcw  # Rci @ Rwi^T (:1544)
+            pf = submap.pos @ Rcw.T + Pcw
+            px = cam_mod.world2cam(cam, pf)
+            scale = (1 << level) * (2 ** submap.search_level.astype(jnp.int32))
+            ok = submap.valid & (pf[:, 2] > 1e-6)
+            val, du, dv = img_ops.sample_patches_with_grad(img, px, scale, ps)
+
+            inv_scale = 1.0 / scale.astype(f32)
+            tau = state.inv_expo
+            Jimg = jnp.stack([du, dv], axis=-1) * (tau * inv_scale[:, None])[..., None]
+            Jdpi = cam_mod.projection_jacobian(cam, pf)  # (M, 2, 3)
+            p_hat = so3.skew(pf)
+            Jca = jnp.einsum("mpi,mij->mpj", Jimg, Jdpi)  # (M, ps², 3)
+            Jdphi = jnp.einsum("mpi,mij->mpj", Jca, p_hat)
+            JdR = jnp.einsum("mpi,ij->mpj", Jdphi, Jdphi_dR) + jnp.einsum(
+                "mpi,ij->mpj", -Jca, Jdp_dR
+            )
+            Jdt = jnp.einsum("mpi,ij->mpj", -Jca, Jdp_dt)
+            res = tau * val - submap.ref_expo[:, None] * submap.warp_patch[:, level, :]
+            Hcol = (val * expo_col)[..., None]
+            H = jnp.concatenate([JdR, Jdt, Hcol], axis=-1)  # (M, ps², 7)
+
+            w = ok.astype(f32)[:, None]
+            error = jnp.sum(w * res * res) / n_meas
+
+            HTH7 = jnp.einsum("mpi,mpj,m->ij", H, H, ok.astype(f32))
+            HTz7 = jnp.einsum("mpi,mp,m->i", H, res, ok.astype(f32))
+            HTH = jnp.zeros((DIM_STATE, DIM_STATE), f32).at[0:7, 0:7].set(HTH7)
+            K_1 = jnp.linalg.inv(HTH + P_scaled_inv)
+            G = jnp.zeros((DIM_STATE, DIM_STATE), f32).at[:, 0:7].set(
+                K_1[:, 0:7] @ HTH7
+            )
+            vec = boxminus(state_prop, state)
+            sol = -K_1[:, 0:7] @ HTz7 + vec - G[:, 0:7] @ vec[0:7]
+
+            # Accept/rollback rule (:1648-1681): on improvement save the
+            # pre-update state and apply the solution; otherwise revert to
+            # the saved state (undo the previous update) and stop.
+            accept = ~stop & (error <= last_error)
+            reject = ~stop & (error > last_error)
+
+            new_state = boxplus(state, sol)
+            old_state, state = (
+                jax.tree.map(
+                    lambda old, cur: jnp.where(accept, cur, old), old_state, state
+                ),
+                jax.tree.map(
+                    lambda old, cur, new: jnp.where(
+                        accept, new, jnp.where(reject, old, cur)
+                    ),
+                    old_state, state, new_state,
+                ),
+            )
+            rot_add = jnp.linalg.norm(sol[0:3])
+            t_add = jnp.linalg.norm(sol[3:6])
+            converged = (rot_add * 57.3 < 0.001) & (t_add * 100.0 < 0.001)
+            G_keep = jnp.where(accept, G, G_keep)
+            final_err = jnp.where(accept, error, final_err)
+            last_error = jnp.where(accept, error, last_error)
+            stop = stop | reject | (accept & converged)
+
+    cov = cov_prop - G_keep @ cov_prop
+    return state, cov, final_err
+
+
+def generate_points(pool: VisualPool, img, pg_w, pg_normal, pg_var, pg_valid,
+                    cell_occupied, state: NavState, cam: cam_mod.Camera,
+                    Rci, Pci, frame_id, frame_slot, cfg: VIOConfig):
+    """Create new visual map points from the current scan: best Shi-Tomasi
+    candidate per empty grid cell (generateVisualMapPoints,
+    vio.cpp:804-906). Allocation wraps the pool (oldest slots recycled).
+    Returns (pool, n_added)."""
+    ps = cfg.patch_size
+    M = n_cells(cfg)
+    P = cfg.pool_capacity
+    Rcw, Pcw = camera_pose(state, Rci, Pci)
+
+    pc = pg_w @ Rcw.T + Pcw
+    px = cam_mod.world2cam(cam, pc)
+    has_normal = jnp.any(pg_normal != 0.0, axis=-1)  # (:811)
+    cand = (
+        pg_valid & has_normal & (pc[:, 2] > 0)
+        & cam_mod.in_frame(cam, px, border_px(cfg))
+    )
+    cell = (
+        jnp.clip(px[:, 1].astype(jnp.int32) // cfg.grid_size, 0, cfg.grid_n_height - 1)
+        * cfg.grid_n_width
+        + jnp.clip(px[:, 0].astype(jnp.int32) // cfg.grid_size, 0, cfg.grid_n_width - 1)
+    )
+    score = img_ops.shi_tomasi(img, px)
+    cand = cand & ~cell_occupied[cell]
+    win = _cell_argbest(cell, score, cand, M, "max")  # (M,) pg idx or -1
+
+    chosen = win >= 0
+    gi = jnp.where(chosen, win, 0)
+    new_pos = pg_w[gi]
+    new_var = pg_var[gi]
+    # Normal sign: point it toward the camera (:867-890).
+    norm_cam = jnp.einsum("ij,mj->mi", Rcw, pg_normal[gi])
+    dir_cam = new_pos @ Rcw.T + Pcw
+    dir_cam = dir_cam / jnp.maximum(jnp.linalg.norm(dir_cam, axis=-1, keepdims=True), 1e-9)
+    flip = jnp.sum(dir_cam * norm_cam, axis=-1) < 0
+    new_normal = jnp.where(flip[:, None], -pg_normal[gi], pg_normal[gi])
+
+    offset = jnp.cumsum(chosen.astype(jnp.int32)) - 1
+    n_added = jnp.sum(chosen.astype(jnp.int32))
+    slot = jnp.where(chosen, (pool.alloc + offset) % P, P)  # drop when P
+
+    new_px = cam_mod.world2cam(cam, new_pos @ Rcw.T + Pcw)
+    patch = img_ops.sample_patches(img, new_px, jnp.ones(M, jnp.int32), ps)
+
+    K = cfg.max_obs
+    obs_valid_row = jnp.zeros((M, K), bool).at[:, 0].set(True)
+    pool = pool._replace(
+        pos=pool.pos.at[slot].set(new_pos, mode="drop"),
+        normal=pool.normal.at[slot].set(new_normal, mode="drop"),
+        prev_normal=pool.prev_normal.at[slot].set(new_normal, mode="drop"),
+        cov=pool.cov.at[slot].set(new_var, mode="drop"),
+        valid=pool.valid.at[slot].set(True, mode="drop"),
+        converged=pool.converged.at[slot].set(False, mode="drop"),
+        has_ref=pool.has_ref.at[slot].set(True, mode="drop"),
+        ref_slot=pool.ref_slot.at[slot].set(0, mode="drop"),
+        alloc=pool.alloc + n_added,
+        obs_valid=pool.obs_valid.at[slot].set(obs_valid_row, mode="drop"),
+        obs_px=pool.obs_px.at[slot, 0].set(new_px, mode="drop"),
+        obs_R=pool.obs_R.at[slot, 0].set(jnp.broadcast_to(Rcw, (M, 3, 3)), mode="drop"),
+        obs_t=pool.obs_t.at[slot, 0].set(jnp.broadcast_to(Pcw, (M, 3)), mode="drop"),
+        obs_expo=pool.obs_expo.at[slot, 0].set(
+            jnp.full((M,), state.inv_expo), mode="drop"
+        ),
+        obs_frame_slot=pool.obs_frame_slot.at[slot, 0].set(
+            jnp.full((M,), frame_slot, jnp.int32), mode="drop"
+        ),
+        obs_frame_id=pool.obs_frame_id.at[slot, 0].set(
+            jnp.full((M,), frame_id, jnp.int32), mode="drop"
+        ),
+        obs_patch=pool.obs_patch.at[slot, 0].set(patch, mode="drop"),
+        obs_mean=pool.obs_mean.at[slot, 0].set(jnp.mean(patch, axis=-1), mode="drop"),
+        obs_score=pool.obs_score.at[slot].set(jnp.zeros((M, K)), mode="drop"),
+    )
+    return pool, n_added
+
+
+def update_obs(pool: VisualPool, submap: Submap, img, state: NavState,
+               cam: cam_mod.Camera, Rci, Pci, frame_id, frame_slot,
+               cfg: VIOConfig):
+    """Append a new observation to tracked points when the viewpoint moved
+    enough; evict the min-score slot when full (updateVisualMapPoints,
+    vio.cpp:908-967). Converged points drop all non-ref observations
+    (:917-921). Returns (pool, update_flag (M,))."""
+    ps = cfg.patch_size
+    K = cfg.max_obs
+    P = cfg.pool_capacity
+    M = submap.valid.shape[0]
+    Rcw, Pcw = camera_pose(state, Rci, Pci)
+    pidx = submap.point_idx
+
+    conv = pool.converged[pidx] & submap.valid
+    # deleteNonRefPatchFeatures: keep only the ref slot.
+    keep_only_ref = jnp.zeros((M, K), bool).at[
+        jnp.arange(M), pool.ref_slot[pidx]
+    ].set(True)
+    wconv = jnp.where(conv, pidx, P)
+    pool = pool._replace(
+        obs_valid=pool.obs_valid.at[wconv].set(
+            pool.obs_valid[pidx] & keep_only_ref, mode="drop"
+        )
+    )
+
+    lane_ok = submap.valid & ~conv
+    px = cam_mod.world2cam(cam, pool.pos[pidx] @ Rcw.T + Pcw)
+
+    obs_valid = pool.obs_valid[pidx]
+    fid = jnp.where(obs_valid, pool.obs_frame_id[pidx], -1)
+    last = jnp.argmax(fid, axis=-1).astype(jnp.int32)  # most recent obs
+    R_l = pool.obs_R[pidx, last]
+    t_l = pool.obs_t[pidx, last]
+    px_l = pool.obs_px[pidx, last]
+    # delta_pose = pose_ref * pose_cur^{-1} (:935-939)
+    R_d = R_l @ Rcw.T
+    t_d = t_l - jnp.einsum("mij,j->mi", R_d, Pcw)
+    delta_p = jnp.linalg.norm(t_d, axis=-1)
+    tr = jnp.clip((R_d[:, 0, 0] + R_d[:, 1, 1] + R_d[:, 2, 2] - 1.0) * 0.5, -1.0, 1.0)
+    delta_theta = jnp.arccos(tr)
+    pixel_dist = jnp.linalg.norm(px - px_l, axis=-1)
+    add = lane_ok & (
+        (delta_p > cfg.select_obs_gap_p)
+        | (delta_theta > cfg.select_obs_gap_theta)
+        | (pixel_dist > cfg.select_obs_gap_px)
+    )
+
+    # Slot choice: first free, else min-score eviction (:946-953).
+    any_free = jnp.any(~obs_valid, axis=-1)
+    first_free = jnp.argmax(~obs_valid, axis=-1).astype(jnp.int32)
+    evict = jnp.argmin(
+        jnp.where(obs_valid, pool.obs_score[pidx], 3e38), axis=-1
+    ).astype(jnp.int32)
+    wslot = jnp.where(any_free, first_free, evict)
+    # Evicting the ref drops the cached ref (visual_point.cpp:113-127).
+    ref_killed = ~any_free & (wslot == pool.ref_slot[pidx])
+
+    patch = img_ops.sample_patches(img, px, jnp.ones(M, jnp.int32), ps)
+    wp = jnp.where(add, pidx, P)
+    pool = pool._replace(
+        has_ref=pool.has_ref.at[jnp.where(add & ref_killed, pidx, P)].set(
+            False, mode="drop"
+        ),
+        obs_valid=pool.obs_valid.at[wp, wslot].set(True, mode="drop"),
+        obs_px=pool.obs_px.at[wp, wslot].set(px, mode="drop"),
+        obs_R=pool.obs_R.at[wp, wslot].set(jnp.broadcast_to(Rcw, (M, 3, 3)), mode="drop"),
+        obs_t=pool.obs_t.at[wp, wslot].set(jnp.broadcast_to(Pcw, (M, 3)), mode="drop"),
+        obs_expo=pool.obs_expo.at[wp, wslot].set(
+            jnp.full((M,), state.inv_expo), mode="drop"
+        ),
+        obs_frame_slot=pool.obs_frame_slot.at[wp, wslot].set(
+            jnp.full((M,), frame_slot, jnp.int32), mode="drop"
+        ),
+        obs_frame_id=pool.obs_frame_id.at[wp, wslot].set(
+            jnp.full((M,), frame_id, jnp.int32), mode="drop"
+        ),
+        obs_patch=pool.obs_patch.at[wp, wslot].set(patch, mode="drop"),
+        obs_mean=pool.obs_mean.at[wp, wslot].set(jnp.mean(patch, axis=-1), mode="drop"),
+        obs_score=pool.obs_score.at[wp, wslot].set(jnp.zeros(M), mode="drop"),
+    )
+    return pool, add
+
+
+def update_reference(pool: VisualPool, vmap_state: VoxelMap,
+                     map_cfg: VoxelMapConfig, submap: Submap,
+                     updated: jnp.ndarray, cfg: VIOConfig):
+    """Normal refinement from the LIO plane map + NCC/view-angle re-scoring
+    of observations (updateReferencePatch, vio.cpp:969-1100)."""
+    K = cfg.max_obs
+    P = cfg.pool_capacity
+    M = submap.valid.shape[0]
+    pidx = submap.point_idx
+    n_obs = jnp.sum(pool.obs_valid[pidx], axis=-1)
+    lane = (
+        submap.valid & updated & ~pool.converged[pidx] & (n_obs > 5)
+    )
+
+    pos = pool.pos[pidx]
+    found, pn, pd, pcen, prad, psigma = query_plane(vmap_state, pos, map_cfg)
+    dis = jnp.sum(pn * pos, axis=-1) + pd
+    a = pos - pcen
+    dc2 = jnp.sum(a * a, axis=-1)
+    range_ok = jnp.clip(dc2 - dis * dis, 0.0, None) <= (3.0 * prad) ** 2
+    sigma_l = psigma + jnp.einsum("mi,mij,mj->m", pn, pool.cov[pidx], pn)
+    gate = jnp.abs(dis) < 3.0 * jnp.sqrt(jnp.clip(sigma_l, 1e-12, None))
+    refine = lane & found & range_ok & gate
+
+    sign = jnp.where(jnp.sum(pool.prev_normal[pidx] * pn, axis=-1) < 0, -1.0, 1.0)
+    new_normal = sign[:, None] * pn
+    normal_update = jnp.linalg.norm(new_normal - pool.prev_normal[pidx], axis=-1)
+    new_conv = refine & (normal_update < 1e-4) & (n_obs > 10)
+
+    wr = jnp.where(refine, pidx, P)
+    pool = pool._replace(
+        normal=pool.normal.at[wr].set(new_normal, mode="drop"),
+        prev_normal=pool.prev_normal.at[wr].set(new_normal, mode="drop"),
+        converged=pool.converged.at[jnp.where(new_conv, pidx, P)].set(
+            True, mode="drop"
+        ),
+    )
+
+    # --- observation re-scoring (:1036-1097) ---
+    obs_valid = pool.obs_valid[pidx]
+    patches = pool.obs_patch[pidx]  # (M, K, ps²)
+    means = jnp.mean(patches, axis=-1)  # recompute means
+    cen = patches - means[..., None]
+    num = jnp.einsum("mkp,mlp->mkl", cen, cen)
+    den = jnp.sqrt(
+        jnp.einsum("mkp,mkp->mk", cen, cen)[:, :, None]
+        * jnp.einsum("mlp,mlp->ml", cen, cen)[:, None, :]
+        + 1e-10
+    )
+    ncc = jnp.abs(num / den)  # (M, K, K)
+    pair = obs_valid[:, :, None] & obs_valid[:, None, :] & ~jnp.eye(K, dtype=bool)
+    cnt = jnp.maximum(jnp.sum(pair, axis=-1), 1)
+    ncc_mean = jnp.sum(jnp.where(pair, ncc, 0.0), axis=-1) / cnt
+
+    pf = jnp.einsum("mkij,mj->mki", pool.obs_R[pidx], pool.pos[pidx]) + pool.obs_t[pidx]
+    pf = pf / jnp.maximum(jnp.linalg.norm(pf, axis=-1, keepdims=True), 1e-9)
+    nrm = jnp.einsum("mkij,mj->mki", pool.obs_R[pidx], pool.normal[pidx])
+    cos_angle = jnp.sum(pf * nrm, axis=-1)
+    score = jnp.where(obs_valid, ncc_mean + cos_angle, -3e38)
+    best = jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+    wl = jnp.where(lane, pidx, P)
+    pool = pool._replace(
+        obs_score=pool.obs_score.at[wl].set(
+            jnp.where(obs_valid, score, 0.0), mode="drop"
+        ),
+        obs_mean=pool.obs_mean.at[wl].set(means, mode="drop"),
+        ref_slot=pool.ref_slot.at[wl].set(best, mode="drop"),
+        has_ref=pool.has_ref.at[wl].set(True, mode="drop"),
+    )
+    return pool
+
+
+def ring_insert(pool: VisualPool, ring: FrameRing, img, frame_id, cfg: VIOConfig):
+    """Write the frame into its ring slot and invalidate observations that
+    referenced the evicted frame. Returns (pool, ring, slot)."""
+    F = cfg.frame_ring
+    slot = frame_id % F
+    ring = FrameRing(
+        imgs=ring.imgs.at[slot].set(img),
+        ids=ring.ids.at[slot].set(frame_id),
+    )
+    evicted = (pool.obs_frame_slot == slot) & (pool.obs_frame_id != frame_id)
+    obs_valid = pool.obs_valid & ~evicted
+    # Points whose ref obs died lose the cached ref.
+    ref_dead = ~jnp.take_along_axis(obs_valid, pool.ref_slot[:, None], axis=1)[:, 0]
+    pool = pool._replace(
+        obs_valid=obs_valid,
+        has_ref=pool.has_ref & ~ref_dead,
+        valid=pool.valid & jnp.any(obs_valid, axis=-1),
+    )
+    return pool, ring, slot
+
+
+class VIOStepResult(NamedTuple):
+    state: NavState
+    cov: jnp.ndarray
+    pool: VisualPool
+    ring: FrameRing
+    n_tracked: jnp.ndarray
+    n_added: jnp.ndarray
+    mean_error: jnp.ndarray
+
+
+def vio_step(state_prop: NavState, cov_prop, pool: VisualPool, ring: FrameRing,
+             vmap_state: VoxelMap, img, pg_w, pg_normal, pg_var, pg_valid,
+             frame_id, cam: cam_mod.Camera, Rci, Pci, cfg: VIOConfig,
+             map_cfg: VoxelMapConfig) -> VIOStepResult:
+    """One full VIO frame (processFrame, vio.cpp:1786-1876): retrieval →
+    iterated photometric update → new-point generation → observation
+    update → reference/normal refinement."""
+    pool, ring, frame_slot = ring_insert(pool, ring, img, frame_id, cfg)
+
+    Rcw0, Pcw0 = camera_pose(state_prop, Rci, Pci)
+    depth_img = rasterize_depth(cam, Rcw0, Pcw0, pg_w, pg_valid, border_px(cfg))
+
+    submap, pool = retrieve(pool, ring, img, depth_img, state_prop, cam, Rci, Pci, cfg)
+    n_tracked = jnp.sum(submap.valid.astype(jnp.int32))
+
+    state, cov, mean_err = photometric_update(
+        state_prop, cov_prop, submap, img, cam, Rci, Pci, cfg
+    )
+
+    pool, n_added = generate_points(
+        pool, img, pg_w, pg_normal, pg_var, pg_valid, submap.valid, state, cam,
+        Rci, Pci, frame_id, frame_slot, cfg
+    )
+    pool, updated = update_obs(
+        pool, submap, img, state, cam, Rci, Pci, frame_id, frame_slot, cfg
+    )
+    pool = update_reference(pool, vmap_state, map_cfg, submap, updated, cfg)
+
+    return VIOStepResult(
+        state=state, cov=cov, pool=pool, ring=ring,
+        n_tracked=n_tracked, n_added=n_added, mean_error=mean_err,
+    )

@@ -349,3 +349,43 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
         cov_nn=take(5),
         cov_qq=take(6),
     )
+
+
+def query_plane(vmap_state: VoxelMap, pts_w: jnp.ndarray, cfg: VoxelMapConfig):
+    """Ungated plane lookup along the containing chain: the first layer
+    whose voxel is a fitted plane wins (VoxelOctoTree::find_correspond,
+    voxel_map.cpp:292-305). Used by the VIO normal refinement
+    (vio.cpp:981-1034). Returns (found, normal, d, center, radius,
+    sigma_l) with sigma_l = a^T cov_nn a + n^T cov_qq n at pts_w."""
+    n_pts = pts_w.shape[0]
+    found = jnp.zeros(n_pts, bool)
+    out = {
+        "normal": jnp.zeros((n_pts, 3)),
+        "d": jnp.zeros(n_pts),
+        "center": jnp.zeros((n_pts, 3)),
+        "radius": jnp.zeros(n_pts),
+        "sigma": jnp.zeros(n_pts),
+    }
+    open_chain = jnp.ones(n_pts, bool)
+    for li, layer in enumerate(vmap_state.layers):
+        vs = layer_voxel_size(cfg, li)
+        keys = voxel_hash.voxel_key(pts_w, vs)
+        slots = voxel_hash.lookup(layer.table, keys, cfg.probes)
+        exists = slots >= 0
+        s = jnp.where(exists, slots, 0)
+        is_pl = layer.is_plane[s] & exists
+        hit = open_chain & is_pl
+        a = pts_w - layer.center[s]
+        n = layer.normal[s]
+        sigma = (
+            jnp.einsum("ni,nij,nj->n", a, layer.cov_nn[s], a)
+            + jnp.einsum("ni,nij,nj->n", n, layer.cov_qq[s], n)
+        )
+        out["normal"] = jnp.where(hit[:, None], n, out["normal"])
+        out["d"] = jnp.where(hit, layer.d[s], out["d"])
+        out["center"] = jnp.where(hit[:, None], layer.center[s], out["center"])
+        out["radius"] = jnp.where(hit, layer.radius[s], out["radius"])
+        out["sigma"] = jnp.where(hit, sigma, out["sigma"])
+        found = found | hit
+        open_chain = open_chain & exists & ~is_pl
+    return found, out["normal"], out["d"], out["center"], out["radius"], out["sigma"]

@@ -1,0 +1,49 @@
+"""End-to-end ONLY_LIO regression on a synthetic sequence: the pipeline
+must track the ground-truth trajectory to centimeter ATE (SURVEY.md §4
+consequence (c): trajectory-accuracy gates are the reference's only
+systemic test; here against exact synthetic ground truth)."""
+
+import numpy as np
+import pytest
+
+from fast_livo2_tpu.core.pipeline import LIVOPipeline
+from fast_livo2_tpu.io import synthetic
+from fast_livo2_tpu.utils.config import LIVOConfig
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.make_sequence(
+        duration=3.0, lidar_hz=10.0, imu_hz=200.0, seed=0,
+        n_lines=12, n_per_line=500, render=False, fov_deg=360.0,
+    )
+
+
+def small_config():
+    cfg = LIVOConfig()
+    cfg.tpu.max_points_per_scan = 8192
+    cfg.tpu.max_points_down = 4096
+    cfg.tpu.hash_capacity_log2 = 15
+    cfg.lio.max_layer = 1
+    cfg.preprocess.filter_size_surf = 0.15
+    return cfg
+
+
+def test_only_lio_tracks_synthetic_groundtruth(seq):
+    pipe = LIVOPipeline(small_config(), slam_mode="only_lio")
+    traj = pipe.process(seq)
+    assert len(traj) >= 20
+    est = [(t, p) for t, R, p in traj]
+    rmse = synthetic.ate_rmse(est, seq.gt)
+    # centimeter-level tracking on the synthetic room
+    assert rmse < 0.05, f"ATE RMSE {rmse:.3f} m"
+    # sanity: the trajectory actually moves (the room walk spans meters)
+    span = np.ptp(np.array([p for _, p in est]), axis=0)
+    assert span.max() > 0.5
+
+
+def test_lio_effective_points_nonzero(seq):
+    pipe = LIVOPipeline(small_config(), slam_mode="only_lio")
+    pipe.process(seq, max_frames=5)
+    effs = [r["n_eff"] for r in pipe.log.rows if r["n_eff"] > 0]
+    assert effs and np.mean(effs) > 300

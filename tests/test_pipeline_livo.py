@@ -1,0 +1,81 @@
+"""End-to-end LIVO (LiDAR + camera) regression on a rendered synthetic
+sequence, plus camera-model unit tests."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from fast_livo2_tpu.core.pipeline import LIVOPipeline
+from fast_livo2_tpu.io import synthetic
+from fast_livo2_tpu.models import camera as cam_mod
+from fast_livo2_tpu.utils.config import LIVOConfig, CameraConfig
+
+
+def small_cam_cfg():
+    return CameraConfig(cam_model="Pinhole", cam_width=320, cam_height=256,
+                        scale=1.0, cam_fx=200.0, cam_fy=200.0, cam_cx=160.0,
+                        cam_cy=128.0)
+
+
+def test_camera_roundtrip():
+    cfg = small_cam_cfg()
+    cfg.cam_d0, cfg.cam_d1, cfg.cam_d2, cfg.cam_d3 = -0.1, 0.05, 0.001, -0.002
+    cam = cam_mod.make_camera(cfg)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) + 1.0
+    px = cam_mod.world2cam(cam, jnp.asarray(pts))
+    f = cam_mod.cam2world(cam, px)
+    px2 = cam_mod.world2cam(cam, f)
+    np.testing.assert_allclose(np.asarray(px), np.asarray(px2), atol=0.05)
+    # bearing direction matches the original point
+    d = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(f), d, atol=1e-2)
+
+
+def test_equidistant_roundtrip():
+    cfg = small_cam_cfg()
+    cfg.cam_model = "equidistant"
+    cfg.k1, cfg.k2, cfg.k3, cfg.k4 = -0.04, 0.01, -0.002, 0.0003
+    cam = cam_mod.make_camera(cfg)
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) + 0.5
+    px = cam_mod.world2cam(cam, jnp.asarray(pts))
+    f = cam_mod.cam2world(cam, px)
+    d = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(f), d, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def livo_seq():
+    cam = cam_mod.make_camera(small_cam_cfg())
+    return synthetic.make_sequence(
+        duration=3.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
+        seed=0, n_lines=12, n_per_line=500, render=True, fov_deg=360.0,
+    )
+
+
+def livo_config():
+    cfg = LIVOConfig()
+    cfg.camera = small_cam_cfg()
+    cfg.tpu.max_points_per_scan = 8192
+    cfg.tpu.max_points_down = 4096
+    cfg.tpu.hash_capacity_log2 = 15
+    cfg.tpu.vis_point_capacity = 8192
+    cfg.tpu.frame_ring = 32
+    cfg.lio.max_layer = 1
+    cfg.preprocess.filter_size_surf = 0.15
+    cfg.vio.patch_pyrimid_level = 3
+    return cfg
+
+
+def test_livo_tracks_and_uses_vision(livo_seq):
+    pipe = LIVOPipeline(livo_config(), slam_mode="livo")
+    traj = pipe.process(livo_seq)
+    assert len(traj) >= 20
+    est = [(t, p) for t, R, p in traj]
+    rmse = synthetic.ate_rmse(est, livo_seq.gt)
+    assert rmse < 0.06, f"LIVO ATE RMSE {rmse:.3f} m"
+    tracked = [r["n_tracked"] for r in pipe.log.rows[3:]]
+    assert np.mean(tracked) > 20, f"VIO tracked too few points: {tracked}"
