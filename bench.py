@@ -1,0 +1,81 @@
+"""Benchmark: steady-state LIVO frames/sec on one TPU chip.
+
+Runs the full pipeline (IMU propagation + undistortion + downsample +
+iterated LIO ESIKF + map update + full VIO frame) on a synthetic
+avia-scale workload (24k-point scans at 10 Hz, 640x512 images at 10 Hz)
+and reports steady-state frames/sec/chip.
+
+vs_baseline: the reference is engineered to run these streams in real
+time on its target CPUs (10 Hz frame rate, BASELINE.md "Real-time design
+rate"; per-frame speed tables are printed but not archived). So
+vs_baseline = fps / 10.0 — >1 means faster than the real-time bar the
+reference sets.
+
+Prints exactly one JSON line on stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    t0 = time.time()
+    from fast_livo2_tpu.core.pipeline import LIVOPipeline
+    from fast_livo2_tpu.io import synthetic
+    from fast_livo2_tpu.models import camera as cam_mod
+    from fast_livo2_tpu.utils.config import CameraConfig, LIVOConfig
+
+    cam_cfg = CameraConfig(
+        cam_model="Pinhole", cam_width=640, cam_height=512, scale=1.0,
+        cam_fx=400.0, cam_fy=400.0, cam_cx=320.0, cam_cy=256.0)
+    cam = cam_mod.make_camera(cam_cfg)
+
+    log("[bench] generating synthetic sequence...")
+    seq = synthetic.make_sequence(
+        duration=3.6, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
+        seed=0, n_lines=24, n_per_line=1000, render=True, fov_deg=360.0,
+    )
+    log(f"[bench] sequence ready in {time.time() - t0:.1f}s: "
+        f"{len(seq.scans)} scans, {len(seq.images)} images")
+
+    cfg = LIVOConfig()
+    cfg.camera = cam_cfg
+    cfg.extrin_calib.Rcl = list(synthetic.R_CI_FORWARD.reshape(-1))
+    cfg.extrin_calib.Pcl = [0.0, 0.0, 0.0]
+    cfg.preprocess.filter_size_surf = 0.15
+    pipe = LIVOPipeline(cfg, slam_mode="livo")
+
+    t1 = time.time()
+    traj = pipe.process(seq, progress=False)
+    total = time.time() - t1
+    rows = pipe.log.rows
+    n = len(rows)
+    warm = min(6, n // 3)
+    steady = rows[warm:]
+    frame_s = [r["lio_s"] + r["vio_s"] for r in steady]
+    fps = 1.0 / float(np.mean(frame_s)) if frame_s else 0.0
+
+    est = [(t, p) for t, R, p in traj]
+    rmse = synthetic.ate_rmse(est, seq.gt)
+    log(f"[bench] {n} frames, total {total:.1f}s (incl. compile), "
+        f"steady mean {np.mean(frame_s) * 1e3:.1f} ms/frame, ATE {rmse:.3f} m")
+
+    print(json.dumps({
+        "metric": "livo_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),
+        "ate_rmse_m": round(rmse, 4),
+        "frames": n,
+    }))
+
+
+if __name__ == "__main__":
+    main()

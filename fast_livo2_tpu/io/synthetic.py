@@ -212,10 +212,17 @@ class SyntheticSequence:
     gt: List[Tuple[float, np.ndarray, np.ndarray]]  # (t, R, p)
 
 
+# Forward-looking camera mount (camera z = body x, x = -body y,
+# y = -body z), the standard optical-frame convention the avia config's
+# Rcl approximates (config/avia.yaml Rcl).
+R_CI_FORWARD = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+
+
 def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
                   cam=None, seed=0, n_lines=16, n_per_line=800,
                   still_time=0.6, planes=None, traj=None,
-                  render=True, fov_deg=70.0) -> SyntheticSequence:
+                  render=True, fov_deg=70.0, R_ci=None,
+                  P_ci=None) -> SyntheticSequence:
     """Build a full synthetic LIVO sequence. The first `still_time`
     seconds are stationary for IMU static initialization (the reference
     requires imu_int_frame frames of static data, IMU_Processing.cpp:104).
@@ -263,9 +270,11 @@ def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
 
     images = []
     if render and cam is not None:
+        R_ci_ = R_CI_FORWARD if R_ci is None else R_ci
+        P_ci_ = np.zeros(3) if P_ci is None else P_ci
         t = 0.1
         while t < duration:
-            images.append((t, render_image(sh, planes, t, cam)))
+            images.append((t, render_image(sh, planes, t, cam, R_ci=R_ci_, P_ci=P_ci_)))
             t += 1.0 / img_hz
 
     gt = []

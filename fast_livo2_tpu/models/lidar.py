@@ -1,0 +1,127 @@
+"""Per-vendor LiDAR decode / preprocess, vectorized (host-side numpy).
+
+Replaces the reference Preprocess class (include/preprocess.h:150-196,
+src/preprocess.cpp) for the offline pipeline: each handler takes the
+structured arrays a rosbag converter produces for that vendor's point
+type and returns (points (N, 3) float32 body-frame, t_offs (N,) float32
+seconds from scan begin), after the same filtering the reference applies:
+1-in-N point decimation (`point_filter_num`), blind-radius rejection, NaN
+rejection, and monotonic-time repair for wrap-around
+(preprocess.cpp:95-744). The LOAM-style plane/edge feature-extraction
+path (give_feature, :746-980) is default-off in every bundled config and
+is not implemented.
+
+LID_TYPE numbering follows common_lib.h:38-47.
+"""
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+AVIA, VELO16, OUST64, L515, XT32, PANDAR128, ROBOSENSE = 1, 2, 3, 4, 5, 6, 7
+
+
+def _base_filter(pts: np.ndarray, offs: np.ndarray, blind: float,
+                 filter_num: int) -> Tuple[np.ndarray, np.ndarray]:
+    keep = np.isfinite(pts).all(axis=1)
+    keep &= (pts * pts).sum(axis=1) > blind * blind
+    idx = np.flatnonzero(keep)
+    if filter_num > 1:
+        idx = idx[::filter_num]
+    return pts[idx].astype(np.float32), offs[idx].astype(np.float32)
+
+
+def decode_avia(fields: Dict[str, np.ndarray], blind: float = 0.8,
+                filter_num: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    """Livox CustomMsg points (avia_handler, preprocess.cpp:95-201):
+    keeps returns with tag bits 0x30 in {0x00, 0x10}, offset_time is ns."""
+    pts = np.stack([fields["x"], fields["y"], fields["z"]], axis=-1)
+    offs = fields["offset_time"].astype(np.float64) * 1e-9
+    if "tag" in fields:
+        tag = fields["tag"].astype(np.uint8)
+        good = ((tag & 0x30) == 0x10) | ((tag & 0x30) == 0x00)
+        pts, offs = pts[good], offs[good]
+    return _base_filter(pts, offs, blind, filter_num)
+
+
+def decode_ouster(fields: Dict[str, np.ndarray], blind: float = 0.8,
+                  filter_num: int = 1, time_offset: float = 0.0):
+    """Ouster OS points (oust64_handler, preprocess.cpp:243-342): per-point
+    `t` is ns from scan begin; an optional constant lidar_time_offset is
+    added (NTU-VIRAL uses -0.1s, config/NTU_VIRAL.yaml)."""
+    pts = np.stack([fields["x"], fields["y"], fields["z"]], axis=-1)
+    offs = fields["t"].astype(np.float64) * 1e-9 + time_offset
+    return _base_filter(pts, offs, blind, filter_num)
+
+
+def decode_velodyne(fields: Dict[str, np.ndarray], blind: float = 0.8,
+                    filter_num: int = 1, scan_rate: float = 10.0):
+    """Velodyne points (velodyne_handler, preprocess.cpp:346-512): the
+    `time` field is seconds relative to scan begin (or end — negative
+    values are rebased); if absent, azimuth-unwound offsets are computed
+    from the yaw angle at `scan_rate` Hz like the reference's
+    given_offset_time=false path."""
+    pts = np.stack([fields["x"], fields["y"], fields["z"]], axis=-1)
+    if "time" in fields:
+        offs = fields["time"].astype(np.float64)
+        if len(offs) and offs.min() < -1e-6:
+            offs = offs - offs.min()
+    else:
+        yaw = np.degrees(np.arctan2(fields["y"], fields["x"]))
+        omega = 0.361 * scan_rate  # deg/ms (preprocess.cpp:365)
+        ring = fields.get("ring", np.zeros(len(yaw), np.int32))
+        offs = np.zeros(len(yaw))
+        for r in np.unique(ring):
+            m = ring == r
+            y = yaw[m]
+            dy = np.diff(y, prepend=y[0] if len(y) else 0.0)
+            dy = np.where(dy > 180, dy - 360, np.where(dy < -180, dy + 360, dy))
+            unw = np.cumsum(dy)
+            offs[m] = -unw / omega * 1e-3
+        offs = offs - offs.min() if len(offs) else offs
+    return _base_filter(pts, offs, blind, filter_num)
+
+
+def decode_xt32(fields: Dict[str, np.ndarray], blind: float = 0.8,
+                filter_num: int = 1):
+    """Hesai XT32 (xt32_handler, preprocess.cpp:566-708): absolute
+    `timestamp` seconds per point; offsets rebased to the scan's first."""
+    pts = np.stack([fields["x"], fields["y"], fields["z"]], axis=-1)
+    ts = fields["timestamp"].astype(np.float64)
+    offs = ts - (ts.min() if len(ts) else 0.0)
+    return _base_filter(pts, offs, blind, filter_num)
+
+
+def decode_pandar128(fields, blind: float = 0.8, filter_num: int = 1):
+    """Pandar128 (Pandar128_handler, preprocess.cpp:514-564): same
+    absolute-timestamp convention as XT32."""
+    return decode_xt32(fields, blind, filter_num)
+
+
+def decode_robosense(fields, blind: float = 0.8, filter_num: int = 1):
+    """Robosense (robosense_handler, preprocess.cpp:710-744)."""
+    return decode_xt32(fields, blind, filter_num)
+
+
+def decode_l515(fields, blind: float = 0.1, filter_num: int = 1):
+    """Realsense L515 (l515_handler, preprocess.cpp:203-241): no per-point
+    time (solid state, negligible distortion)."""
+    pts = np.stack([fields["x"], fields["y"], fields["z"]], axis=-1)
+    offs = np.zeros(len(pts))
+    return _base_filter(pts, offs, blind, filter_num)
+
+
+_DECODERS = {
+    AVIA: decode_avia,
+    VELO16: decode_velodyne,
+    OUST64: decode_ouster,
+    L515: decode_l515,
+    XT32: decode_xt32,
+    PANDAR128: decode_pandar128,
+    ROBOSENSE: decode_robosense,
+}
+
+
+def decode(lidar_type: int, fields: Dict[str, np.ndarray], **kw):
+    """Dispatch on LID_TYPE (Preprocess::process, preprocess.cpp:54-93)."""
+    return _DECODERS[lidar_type](fields, **kw)

@@ -22,8 +22,11 @@ def test_camera_roundtrip():
     cfg.cam_d0, cfg.cam_d1, cfg.cam_d2, cfg.cam_d3 = -0.1, 0.05, 0.001, -0.002
     cam = cam_mod.make_camera(cfg)
     rng = np.random.default_rng(0)
-    pts = rng.normal(size=(200, 3)).astype(np.float32)
-    pts[:, 2] = np.abs(pts[:, 2]) + 1.0
+    # points inside a reasonable frustum — radial distortion polynomials
+    # are not invertible arbitrarily far outside the calibrated FOV
+    uv = rng.uniform(-0.7, 0.7, size=(200, 2)).astype(np.float32)
+    z = rng.uniform(0.5, 10.0, size=(200, 1)).astype(np.float32)
+    pts = np.concatenate([uv * z, z], axis=-1)
     px = cam_mod.world2cam(cam, jnp.asarray(pts))
     f = cam_mod.cam2world(cam, px)
     px2 = cam_mod.world2cam(cam, f)
@@ -39,8 +42,9 @@ def test_equidistant_roundtrip():
     cfg.k1, cfg.k2, cfg.k3, cfg.k4 = -0.04, 0.01, -0.002, 0.0003
     cam = cam_mod.make_camera(cfg)
     rng = np.random.default_rng(1)
-    pts = rng.normal(size=(200, 3)).astype(np.float32)
-    pts[:, 2] = np.abs(pts[:, 2]) + 0.5
+    uv = rng.uniform(-0.9, 0.9, size=(200, 2)).astype(np.float32)
+    z = rng.uniform(0.5, 10.0, size=(200, 1)).astype(np.float32)
+    pts = np.concatenate([uv * z, z], axis=-1)
     px = cam_mod.world2cam(cam, jnp.asarray(pts))
     f = cam_mod.cam2world(cam, px)
     d = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
@@ -59,6 +63,8 @@ def livo_seq():
 def livo_config():
     cfg = LIVOConfig()
     cfg.camera = small_cam_cfg()
+    cfg.extrin_calib.Rcl = list(synthetic.R_CI_FORWARD.reshape(-1))
+    cfg.extrin_calib.Pcl = [0.0, 0.0, 0.0]
     cfg.tpu.max_points_per_scan = 8192
     cfg.tpu.max_points_down = 4096
     cfg.tpu.hash_capacity_log2 = 15
