@@ -53,19 +53,24 @@ def main():
     pipe = LIVOPipeline(cfg, slam_mode="livo")
 
     t1 = time.time()
-    traj = pipe.process(seq, progress=False)
+    traj = pipe.process(seq, progress=False)  # ends with a device sync
+    t_end = time.perf_counter()
     total = time.time() - t1
     rows = pipe.log.rows
     n = len(rows)
     warm = min(6, n // 3)
-    steady = rows[warm:]
-    frame_s = [r["lio_s"] + r["vio_s"] for r in steady]
-    fps = 1.0 / float(np.mean(frame_s)) if frame_s else 0.0
+    # Dispatch is async; wall time from the end of the warmup frame to the
+    # post-run sync covers the steady frames honestly.
+    steady_n = n - warm - 1
+    steady_s = t_end - rows[warm]["t_wall"]
+    fps = steady_n / steady_s if steady_n > 0 else 0.0
 
     est = [(t, p) for t, R, p in traj]
     rmse = synthetic.ate_rmse(est, seq.gt)
     log(f"[bench] {n} frames, total {total:.1f}s (incl. compile), "
-        f"steady mean {np.mean(frame_s) * 1e3:.1f} ms/frame, ATE {rmse:.3f} m")
+        f"steady {steady_s / max(steady_n, 1) * 1e3:.1f} ms/frame, ATE {rmse:.3f} m")
+    log(f"[bench] dispatch means: lio {np.mean([r['lio_s'] for r in rows[warm:]]) * 1e3:.1f} ms, "
+        f"vio {np.mean([r['vio_s'] for r in rows[warm:]]) * 1e3:.1f} ms")
 
     print(json.dumps({
         "metric": "livo_frames_per_sec_per_chip",

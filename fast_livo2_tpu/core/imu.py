@@ -233,3 +233,61 @@ def static_init(acc_samples: np.ndarray, gyr_samples: np.ndarray):
     norm = float(np.linalg.norm(mean_acc))
     gravity = -mean_acc / norm * GRAVITY
     return gravity.astype(np.float32), np.float32(norm)
+
+
+def propagate_without_imu(state: NavState, cov: jnp.ndarray, dt,
+                          noise: ImuNoise):
+    """Constant-velocity propagation for IMU-less (LO) operation
+    (Forward_without_imu, IMU_Processing.cpp:151-234). In this mode the
+    gyro-bias block of the state doubles as a constant angular-velocity
+    estimate (the reference reuses bias_g the same way, :183-188)."""
+    f32 = cov.dtype
+    eye19 = jnp.eye(DIM_STATE, dtype=f32)
+    F = eye19
+    F = F.at[0:3, 0:3].set(so3.exp(state.bias_g, -dt))
+    F = F.at[0:3, 10:13].set(jnp.eye(3, dtype=f32) * dt)
+    F = F.at[3:6, 7:10].set(jnp.eye(3, dtype=f32) * dt)
+    Q = jnp.zeros((DIM_STATE, DIM_STATE), f32)
+    Q = Q.at[10:13, 10:13].set(jnp.diag(noise.cov_gyr) * dt * dt)
+    Q = Q.at[7:10, 7:10].set(jnp.diag(noise.cov_acc) * dt * dt)
+    cov_new = F @ cov @ F.T + Q
+    state_new = state._replace(
+        rot=state.rot @ so3.exp(state.bias_g, dt),
+        pos=state.pos + state.vel * dt,
+    )
+    return state_new, cov_new
+
+
+def undistort_without_imu(points: jnp.ndarray, t_offs: jnp.ndarray,
+                          t_end_offset, state: NavState):
+    """Constant-velocity backward undistortion (Forward_without_imu,
+    IMU_Processing.cpp:215-233): rotate by Exp(w, -dt_j) and shift by
+    -R^T v dt_j, dt_j = time from the point to scan end."""
+    dt_j = jnp.clip(t_end_offset - t_offs, 0.0, None)
+    R_jk = so3.exp(-state.bias_g[None, :] * dt_j[:, None])
+    p_jk = -(state.rot.T @ state.vel)[None, :] * dt_j[:, None]
+    return jnp.einsum("nij,nj->ni", R_jk, points) + p_jk
+
+
+def imu_rate_odometry(state: NavState, batch: ImuBatch, noise: ImuNoise):
+    """IMU-rate pose output between filter updates: forward-only
+    propagation of (R, p, v) through a padded IMU batch, no covariance
+    (the 250 Hz imu_prop_callback, LIVMapper.cpp:576-635). Returns
+    (offs_end (K,), R (K,3,3), p (K,3), v (K,3), valid (K,))."""
+
+    def step(carry, inp):
+        R, p, v = carry
+        w_raw, a_raw, dt, offs_end, valid = inp
+        w = w_raw - state.bias_g
+        a = a_raw * (GRAVITY / noise.mean_acc_norm) - state.bias_a
+        R_new = R @ so3.exp(w, dt)
+        acc_w = R_new @ a + state.grav
+        p_new = p + v * dt + 0.5 * acc_w * dt * dt
+        v_new = v + acc_w * dt
+        return (R_new, p_new, v_new), (offs_end, R_new, p_new, v_new, valid)
+
+    init = (state.rot, state.pos, state.vel)
+    _, out = jax.lax.scan(
+        step, init, (batch.gyr, batch.acc, batch.dt, batch.offs_end, batch.valid)
+    )
+    return out

@@ -25,6 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The filter core (19x19 covariance propagation/inversion, 3x3 eigh,
+# normal-equation contractions) needs true float32 accumulation: the TPU
+# MXU's default bf16-input matmul precision diverges the ESIKF (observed:
+# meter-scale drift within seconds). The engine's matmuls are all small,
+# so full-precision costs nothing measurable.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 from ..models import camera as cam_mod
 from ..ops import so3
 from ..utils.config import LIVOConfig
@@ -122,19 +129,31 @@ class LIVOPipeline:
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self.log = FrameLog()
 
+        # Donate only the big map/pool/ring buffers; state and cov are tiny
+        # and their trajectory snapshots must outlive the next frame.
         self._lio_jit = jax.jit(
-            self._lio_step, static_argnames=("first",),
-            donate_argnums=(0, 1, 2),
+            self._lio_step, static_argnames=("first",), donate_argnums=(2,),
         )
-        self._vio_jit = jax.jit(self._vio_step, donate_argnums=(0, 1, 2, 3))
+        self._vio_jit = jax.jit(self._vio_step, donate_argnums=(2, 3))
 
     # ---------- jitted step bodies ----------
 
     def _lio_step(self, state, cov, vmap_state, imu_batch, pts, t_offs, valid,
                   first: bool):
         cfg = self.cfg
-        state_prop, cov_prop, poses = imu_mod.propagate(state, cov, imu_batch, self.noise)
-        und = imu_mod.undistort(pts, t_offs, poses, state_prop, self.ext_R, self.ext_T)
+        if self.slam_mode == "only_lo":
+            # IMU-less: constant-velocity model (Forward_without_imu).
+            dt = imu_batch  # scalar packet duration in this mode
+            state_prop, cov_prop = imu_mod.propagate_without_imu(
+                state, cov, dt, self.noise
+            )
+            und = imu_mod.undistort_without_imu(pts, t_offs, dt, state_prop)
+        else:
+            state_prop, cov_prop, poses = imu_mod.propagate(
+                state, cov, imu_batch, self.noise
+            )
+            und = imu_mod.undistort(pts, t_offs, poses, state_prop,
+                                    self.ext_R, self.ext_T)
         down, down_valid = lio_mod.voxel_downsample(
             und, valid, cfg.preprocess.filter_size_surf, cfg.tpu.max_points_down
         )
@@ -207,8 +226,12 @@ class LIVOPipeline:
     def _run_lio_packet(self, t_end: float, seq, first: bool):
         cfg = self.cfg.tpu
         t0 = self.last_update_time
-        st, gy, ac = self._imu_slice(t0, t_end, seq)
-        batch = imu_mod.prepare_imu_batch(st, gy, ac, t0, t_end, cfg.max_imu_per_packet)
+        if self.slam_mode == "only_lo":
+            batch = jnp.asarray(np.float32(t_end - t0))
+        else:
+            st, gy, ac = self._imu_slice(t0, t_end, seq)
+            batch = imu_mod.prepare_imu_batch(st, gy, ac, t0, t_end,
+                                              cfg.max_imu_per_packet)
 
         # collect pending points with absolute time <= t_end
         take_p, take_t, rest = [], [], []
@@ -256,6 +279,15 @@ class LIVOPipeline:
             if max_frames is not None and n_done >= max_frames:
                 break
             if not self.imu_inited:
+                if self.slam_mode == "only_lo":
+                    # No IMU: constant-velocity model from the first scan.
+                    self.noise = imu_mod.make_noise(
+                        acc_cov=self.cfg.imu.acc_cov,
+                        gyr_cov=self.cfg.imu.gyr_cov,
+                    )
+                    self.imu_inited = True
+                    self.last_update_time = t_ev
+                    continue
                 if not self._init_imu(seq, t_ev):
                     continue
                 self.last_update_time = t_ev
@@ -281,19 +313,28 @@ class LIVOPipeline:
                 )
                 self.state, self.cov = res.state, res.cov
                 self.pool, self.ring = res.pool, res.ring
-                n_trk = int(res.n_tracked)
+                n_trk = res.n_tracked  # device scalar; converted at end
             t_vio = time.perf_counter()
 
             self.frame_id += 1
             n_done += 1
-            R = np.asarray(self.state.rot)
-            p = np.asarray(self.state.pos)
-            self.trajectory.append((t_ev, R, p))
+            # Keep device arrays; converting here would force a blocking
+            # device sync per frame (costly over a remote TPU link).
+            self.trajectory.append((t_ev, self.state.rot, self.state.pos))
             self.log.add(
-                t=t_ev, lio_s=t_lio - t_frame0, vio_s=t_vio - t_lio,
-                n_eff=int(pg[4][0]) if not first else 0,
+                t=t_ev, t_wall=time.perf_counter(),
+                lio_s=t_lio - t_frame0, vio_s=t_vio - t_lio,
+                n_eff=pg[4][0] if not first else 0,
                 n_tracked=n_trk,
             )
             if progress and n_done % 10 == 0:
-                print(f"[livo] frame {n_done} t={t_ev:.2f} pos={p.round(3)}")
+                print(f"[livo] frame {n_done} t={t_ev:.2f} "
+                      f"pos={np.asarray(self.state.pos).round(3)}")
+        self.trajectory = [
+            (t, np.asarray(R), np.asarray(p)) for t, R, p in self.trajectory
+        ]
+        for r in self.log.rows:
+            for k in ("n_eff", "n_tracked"):
+                if k in r and not isinstance(r[k], int):
+                    r[k] = int(r[k])
         return self.trajectory

@@ -389,3 +389,56 @@ def query_plane(vmap_state: VoxelMap, pts_w: jnp.ndarray, cfg: VoxelMapConfig):
         found = found | hit
         open_chain = open_chain & exists & ~is_pl
     return found, out["normal"], out["d"], out["center"], out["radius"], out["sigma"]
+
+
+def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
+              half_map_size: int, cfg: VoxelMapConfig) -> VoxelMap:
+    """Local-map sliding: evict voxels outside a half_map_size box around
+    the current position (mapSliding/clearMemOutOfMap,
+    voxel_map.cpp:924-971). Open addressing cannot delete slots in place
+    (probe chains would break), so each layer is *rebuilt*: surviving keys
+    re-inserted into a fresh table and their value rows gathered across.
+    Intended to be called rarely (when the pose moved > sliding_thresh,
+    like the reference)."""
+    new_layers = []
+    for li, layer in enumerate(vmap_state.layers):
+        vs = layer_voxel_size(cfg, li)
+        cap = layer.count.shape[0]
+        # box limits in this layer's voxel units, scaled from root units
+        scale = 1 << li
+        ctr = jnp.floor(center_pos / vs).astype(jnp.int32)
+        half = half_map_size * scale
+        occupied = layer.table.kx != voxel_hash.EMPTY
+        keep = (
+            occupied
+            & (jnp.abs(layer.table.kx - ctr[0]) <= half)
+            & (jnp.abs(layer.table.ky - ctr[1]) <= half)
+            & (jnp.abs(layer.table.kz - ctr[2]) <= half)
+        )
+        keys = jnp.stack([layer.table.kx, layer.table.ky, layer.table.kz], axis=-1)
+        fresh = voxel_hash.make_table(cap)
+        fresh, new_slots = voxel_hash.lookup_or_insert(fresh, keys, keep, cfg.probes)
+        # scatter value rows old-slot -> new-slot
+        dst = jnp.where(keep & (new_slots >= 0), new_slots, cap)
+
+        def move(arr, fill=0.0):
+            out = jnp.zeros_like(arr)
+            if arr.dtype == bool:
+                out = jnp.zeros_like(arr)
+            return out.at[dst].set(arr, mode="drop")
+
+        new_layers.append(MapLayer(
+            table=fresh,
+            count=move(layer.count),
+            sum_p=move(layer.sum_p),
+            sum_pp=move(layer.sum_pp),
+            sum_C=move(layer.sum_C),
+            is_plane=move(layer.is_plane),
+            normal=move(layer.normal),
+            d=move(layer.d),
+            center=move(layer.center),
+            radius=move(layer.radius),
+            cov_nn=move(layer.cov_nn),
+            cov_qq=move(layer.cov_qq),
+        ))
+    return VoxelMap(layers=tuple(new_layers))

@@ -1,0 +1,88 @@
+"""Engine checkpoint / resume.
+
+A capability the reference lacks entirely (SURVEY.md §5: "Checkpoint /
+resume: none — recovery = restart from scratch"). The whole engine state
+— filter state + covariance, the voxel plane map, the visual point pool,
+and the frame ring — is a pytree of arrays, so a checkpoint is one
+compressed npz with a flattened-keypath manifest, and resume is exact:
+a restarted pipeline continues from the same map and state.
+"""
+
+import json
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> Tuple[dict, str]:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    return arrays, str(treedef)
+
+
+def save(path: str, pipeline) -> None:
+    """Snapshot a LIVOPipeline's device state + host scalars."""
+    tree = {
+        "state": pipeline.state,
+        "cov": pipeline.cov,
+        "vmap": pipeline.vmap_state,
+        "pool": pipeline.pool,
+        "ring": pipeline.ring,
+        "noise": pipeline.noise,
+    }
+    arrays, treedef = _flatten(tree)
+    meta = {
+        "treedef": treedef,
+        "frame_id": int(pipeline.frame_id),
+        "last_update_time": (
+            None if pipeline.last_update_time is None
+            else float(pipeline.last_update_time)
+        ),
+        "imu_inited": bool(pipeline.imu_inited),
+        "map_inited": bool(pipeline.map_inited),
+        "version": 1,
+    }
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load(path: str, pipeline) -> None:
+    """Restore a snapshot into a freshly-constructed LIVOPipeline (same
+    config — shapes must match)."""
+    import jax.numpy as jnp
+
+    from ..core import imu as imu_mod
+
+    if pipeline.noise is None:
+        # placeholder with the right pytree structure; overwritten below
+        pipeline.noise = imu_mod.make_noise()
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    tree = {
+        "state": pipeline.state,
+        "cov": pipeline.cov,
+        "vmap": pipeline.vmap_state,
+        "pool": pipeline.pool,
+        "ring": pipeline.ring,
+        "noise": pipeline.noise,
+    }
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    new_leaves = []
+    for i, old in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        assert arr.shape == np.asarray(old).shape, (
+            f"checkpoint shape mismatch at leaf {i}: {arr.shape} vs "
+            f"{np.asarray(old).shape} (config changed?)"
+        )
+        new_leaves.append(jnp.asarray(arr))
+    restored = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    pipeline.state = restored["state"]
+    pipeline.cov = restored["cov"]
+    pipeline.vmap_state = restored["vmap"]
+    pipeline.pool = restored["pool"]
+    pipeline.ring = restored["ring"]
+    pipeline.noise = restored["noise"]
+    pipeline.frame_id = meta["frame_id"]
+    pipeline.last_update_time = meta["last_update_time"]
+    pipeline.imu_inited = meta["imu_inited"]
+    pipeline.map_inited = meta["map_inited"]

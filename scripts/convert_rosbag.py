@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Convert a ROS1 bag to the npz sequence layout of io/dataset.py.
+
+One-time offline conversion replacing the reference's live rosbag replay
+(README.md "rosbag play"). Requires the pure-python `rosbags` package
+(pip install rosbags — NOT bundled in the TPU image; run this wherever
+the bags live).
+
+Usage:
+  python scripts/convert_rosbag.py <bag> <out_dir> \
+      --lidar-type 1 --lid-topic /livox/lidar --imu-topic /livox/imu \
+      --img-topic /left_camera/image [--blind 0.8] [--filter-num 1]
+
+Point decoding is delegated to fast_livo2_tpu.models.lidar (the
+vectorized equivalents of the reference's per-vendor handlers).
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def pointcloud2_to_fields(msg):
+    """Structured-array view of a PointCloud2 message."""
+    names, formats, offsets = [], [], []
+    for f in msg.fields:
+        dt = {1: "i1", 2: "u1", 3: "i2", 4: "u2", 5: "i4", 6: "u4",
+              7: "f4", 8: "f8"}[f.datatype]
+        names.append(f.name)
+        formats.append(dt)
+        offsets.append(f.offset)
+    dtype = np.dtype({"names": names, "formats": formats, "offsets": offsets,
+                      "itemsize": msg.point_step})
+    arr = np.frombuffer(msg.data, dtype=dtype, count=msg.width * msg.height)
+    return {n: np.ascontiguousarray(arr[n]) for n in names}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bag")
+    ap.add_argument("out")
+    ap.add_argument("--lidar-type", type=int, default=1)
+    ap.add_argument("--lid-topic", default="/livox/lidar")
+    ap.add_argument("--imu-topic", default="/livox/imu")
+    ap.add_argument("--img-topic", default="/left_camera/image")
+    ap.add_argument("--blind", type=float, default=0.8)
+    ap.add_argument("--filter-num", type=int, default=1)
+    args = ap.parse_args()
+
+    try:
+        from rosbags.highlevel import AnyReader
+        from rosbags.typesys import Stores, get_typestore
+    except ImportError:
+        sys.exit("error: `pip install rosbags` to run the converter "
+                 "(pure python, no ROS needed)")
+
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from fast_livo2_tpu.models import lidar as lidar_mod
+    from fast_livo2_tpu.io.dataset import NpzSequence, save_sequence
+
+    imu_t, gyr, acc = [], [], []
+    scans = []
+    images = []
+
+    with AnyReader([Path(args.bag)]) as reader:
+        conns = [c for c in reader.connections
+                 if c.topic in (args.lid_topic, args.imu_topic, args.img_topic)]
+        for conn, ts, raw in reader.messages(connections=conns):
+            msg = reader.deserialize(raw, conn.msgtype)
+            t = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
+            if conn.topic == args.imu_topic:
+                imu_t.append(t)
+                gyr.append([msg.angular_velocity.x, msg.angular_velocity.y,
+                            msg.angular_velocity.z])
+                acc.append([msg.linear_acceleration.x, msg.linear_acceleration.y,
+                            msg.linear_acceleration.z])
+            elif conn.topic == args.lid_topic:
+                if "CustomMsg" in conn.msgtype:  # livox
+                    fields = {
+                        "x": np.array([p.x for p in msg.points], np.float32),
+                        "y": np.array([p.y for p in msg.points], np.float32),
+                        "z": np.array([p.z for p in msg.points], np.float32),
+                        "offset_time": np.array(
+                            [p.offset_time for p in msg.points], np.uint64),
+                        "tag": np.array([p.tag for p in msg.points], np.uint8),
+                    }
+                else:
+                    fields = pointcloud2_to_fields(msg)
+                pts, offs = lidar_mod.decode(
+                    args.lidar_type, fields, blind=args.blind,
+                    filter_num=args.filter_num)
+                scans.append((t, pts, offs))
+            else:  # image
+                if hasattr(msg, "format"):  # CompressedImage
+                    import cv2
+                    img = cv2.imdecode(np.frombuffer(msg.data, np.uint8),
+                                       cv2.IMREAD_GRAYSCALE)
+                else:
+                    h, w = msg.height, msg.width
+                    ch = msg.step // w
+                    img = np.frombuffer(msg.data, np.uint8).reshape(h, w, ch).squeeze()
+                images.append((t, img))
+
+    t0 = min(
+        [imu_t[0] if imu_t else np.inf]
+        + [scans[0][0] if scans else np.inf]
+        + [images[0][0] if images else np.inf]
+    )
+    seq = NpzSequence(
+        imu_stamps=np.array(imu_t) - t0,
+        imu_gyr=np.array(gyr), imu_acc=np.array(acc),
+        scans=[(t - t0, p, o) for t, p, o in scans],
+        images=[(t - t0, im) for t, im in images],
+    )
+    save_sequence(args.out, seq)
+    print(f"wrote {args.out}: {len(imu_t)} imu, {len(scans)} scans, "
+          f"{len(images)} images (t0={t0:.3f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Checkpoint/resume, npz dataset roundtrip, map sliding, exporters."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from fast_livo2_tpu.core import voxel_map as vm
+from fast_livo2_tpu.core.pipeline import LIVOPipeline
+from fast_livo2_tpu.io import checkpoint, dataset, export, synthetic
+from fast_livo2_tpu.utils.config import LIVOConfig
+
+
+def _small_cfg():
+    cfg = LIVOConfig()
+    cfg.tpu.max_points_per_scan = 8192
+    cfg.tpu.max_points_down = 4096
+    cfg.tpu.hash_capacity_log2 = 14
+    cfg.lio.max_layer = 1
+    cfg.preprocess.filter_size_surf = 0.15
+    return cfg
+
+
+def _seq():
+    return synthetic.make_sequence(duration=2.0, lidar_hz=10.0, imu_hz=200.0,
+                                   seed=1, n_lines=10, n_per_line=400,
+                                   render=False, fov_deg=360.0)
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    seq = _seq()
+    pipe = LIVOPipeline(_small_cfg(), slam_mode="only_lio")
+    pipe.process(seq, max_frames=8)
+    ck = str(tmp_path / "ck.npz")
+    checkpoint.save(ck, pipe)
+    state_before = np.asarray(pipe.state.pos)
+
+    pipe2 = LIVOPipeline(_small_cfg(), slam_mode="only_lio")
+    checkpoint.load(ck, pipe2)
+    np.testing.assert_array_equal(np.asarray(pipe2.state.pos), state_before)
+    assert pipe2.frame_id == pipe.frame_id
+    # resumed pipeline keeps processing from the checkpoint
+    pipe2.pending = [p for p in pipe.pending]
+    pipe2.process(seq, max_frames=3)
+
+
+def test_npz_dataset_roundtrip(tmp_path):
+    seq = _seq()
+    d = str(tmp_path / "seq")
+    dataset.save_sequence(d, seq)
+    back = dataset.load_sequence(d)
+    assert len(back.scans) == len(seq.scans)
+    np.testing.assert_allclose(back.imu_stamps, seq.imu_stamps)
+    np.testing.assert_allclose(back.scans[0][1], seq.scans[0][1], atol=1e-6)
+    np.testing.assert_allclose(
+        [g[2] for g in back.gt][:5], [g[2] for g in seq.gt][:5], atol=1e-6
+    )
+
+
+def test_tum_export_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    traj = []
+    from fast_livo2_tpu.ops import so3
+    for i in range(5):
+        R = np.asarray(so3.exp(jnp.asarray(rng.normal(size=3), jnp.float32)))
+        traj.append((0.1 * i, R, rng.normal(size=3)))
+    p = str(tmp_path / "traj.txt")
+    export.write_tum(p, traj)
+    back = export.read_tum(p)
+    for (t0, R0, p0), (t1, R1, p1) in zip(traj, back):
+        assert abs(t0 - t1) < 1e-6
+        np.testing.assert_allclose(R0, R1, atol=1e-4)
+        np.testing.assert_allclose(p0, p1, atol=1e-5)
+
+
+def test_pcd_export(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    p = str(tmp_path / "cloud.pcd")
+    export.write_pcd(p, pts, intensity=np.ones(100))
+    raw = open(p, "rb").read()
+    assert b"POINTS 100" in raw and b"DATA binary" in raw
+    body = raw.split(b"DATA binary\n", 1)[1]
+    arr = np.frombuffer(body, np.float32).reshape(100, 4)
+    np.testing.assert_allclose(arr[:, :3], pts, atol=1e-6)
+
+
+def test_map_sliding_preserves_in_box_evicts_outside():
+    cfg = vm.VoxelMapConfig(voxel_size=0.5, n_layers=1, capacity_log2=12,
+                            layer_init_num=(5,))
+    rng = np.random.default_rng(2)
+    near = rng.uniform(-2, 2, size=(2000, 3)).astype(np.float32)
+    far = near + np.array([100.0, 0, 0], np.float32)
+    pts = jnp.asarray(np.concatenate([near, far]))
+    var = jnp.tile(jnp.eye(3) * 1e-4, (len(pts), 1, 1))
+    m = vm.make_map(cfg)
+    m = vm.update_map(m, pts, var, jnp.ones(len(pts), bool), cfg)
+
+    n_occ = int(jnp.sum(m.layers[0].table.kx != 0x7FFFFFFF))
+    m2 = vm.slide_map(m, jnp.zeros(3), half_map_size=20, cfg=cfg)
+    n_after = int(jnp.sum(m2.layers[0].table.kx != 0x7FFFFFFF))
+    assert n_after < n_occ  # far cluster evicted
+    # near points still found
+    q = jnp.asarray(near[:200])
+    slots = np.asarray(
+        __import__("fast_livo2_tpu.ops.voxel_hash", fromlist=["lookup"]).lookup(
+            m2.layers[0].table, vm.voxel_hash.voxel_key(q, 0.5)
+        )
+    )
+    assert (slots >= 0).mean() > 0.99
+    # far points gone
+    qf = jnp.asarray(far[:200])
+    slots_f = np.asarray(
+        vm.voxel_hash.lookup(m2.layers[0].table, vm.voxel_hash.voxel_key(qf, 0.5))
+    )
+    assert (slots_f < 0).all()
+    # surviving slots keep their stats (counts preserved)
+    assert int(jnp.sum(m2.layers[0].count)) > 0

@@ -47,3 +47,19 @@ def test_lio_effective_points_nonzero(seq):
     pipe.process(seq, max_frames=5)
     effs = [r["n_eff"] for r in pipe.log.rows if r["n_eff"] > 0]
     assert effs and np.mean(effs) > 300
+
+
+def test_only_lo_mode_runs():
+    """IMU-less constant-velocity mode (Forward_without_imu path): slower
+    drift tolerated, but the pipeline must run and stay bounded on the
+    (gentle) synthetic room."""
+    seq = synthetic.make_sequence(
+        duration=2.0, lidar_hz=10.0, imu_hz=200.0, seed=2,
+        n_lines=12, n_per_line=500, render=False, fov_deg=360.0,
+    )
+    pipe = LIVOPipeline(small_config(), slam_mode="only_lo")
+    traj = pipe.process(seq)
+    assert len(traj) >= 15
+    est = [(t, p) for t, R, p in traj]
+    rmse = synthetic.ate_rmse(est, seq.gt)
+    assert rmse < 0.5, f"LO ATE RMSE {rmse:.3f} m"
