@@ -37,11 +37,20 @@ def main():
         cam_fx=400.0, cam_fy=400.0, cam_cx=320.0, cam_cy=256.0)
     cam = cam_mod.make_camera(cam_cfg)
 
-    log("[bench] generating synthetic sequence...")
-    seq = synthetic.make_sequence(
-        duration=3.6, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
-        seed=0, n_lines=24, n_per_line=1000, render=True, fov_deg=360.0,
-    )
+    cache = "/tmp/flv_bench_seq"
+    import os
+
+    from fast_livo2_tpu.io import dataset as ds
+    if os.path.exists(os.path.join(cache, "imu.npz")):
+        log("[bench] loading cached synthetic sequence...")
+        seq = ds.load_sequence(cache)
+    else:
+        log("[bench] generating synthetic sequence...")
+        seq = synthetic.make_sequence(
+            duration=3.6, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
+            seed=0, n_lines=24, n_per_line=1000, render=True, fov_deg=360.0,
+        )
+        ds.save_sequence(cache, seq)
     log(f"[bench] sequence ready in {time.time() - t0:.1f}s: "
         f"{len(seq.scans)} scans, {len(seq.images)} images")
 

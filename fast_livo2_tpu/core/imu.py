@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import so3
+from ..ops.precision import hi_precision
 from .state import DIM_STATE, GRAVITY, NavState
 
 
@@ -139,6 +140,7 @@ def prepare_imu_batch(stamps: np.ndarray, gyr: np.ndarray, acc: np.ndarray,
                     offs_end=jnp.asarray(offs), valid=jnp.asarray(valid))
 
 
+@hi_precision
 def propagate(state: NavState, cov: jnp.ndarray, batch: ImuBatch, noise: ImuNoise):
     """Forward-propagate state + covariance through one IMU batch.
 
@@ -195,6 +197,7 @@ def propagate(state: NavState, cov: jnp.ndarray, batch: ImuBatch, noise: ImuNois
     return state_out, P_e, imu_poses
 
 
+@hi_precision
 def undistort(points: jnp.ndarray, t_offs: jnp.ndarray, poses: ImuPoses,
               state_end: NavState, ext_R: jnp.ndarray, ext_T: jnp.ndarray):
     """Motion-compensate LiDAR points to the scan-end IMU frame.
@@ -235,6 +238,7 @@ def static_init(acc_samples: np.ndarray, gyr_samples: np.ndarray):
     return gravity.astype(np.float32), np.float32(norm)
 
 
+@hi_precision
 def propagate_without_imu(state: NavState, cov: jnp.ndarray, dt,
                           noise: ImuNoise):
     """Constant-velocity propagation for IMU-less (LO) operation
@@ -258,6 +262,7 @@ def propagate_without_imu(state: NavState, cov: jnp.ndarray, dt,
     return state_new, cov_new
 
 
+@hi_precision
 def undistort_without_imu(points: jnp.ndarray, t_offs: jnp.ndarray,
                           t_end_offset, state: NavState):
     """Constant-velocity backward undistortion (Forward_without_imu,
@@ -269,6 +274,7 @@ def undistort_without_imu(points: jnp.ndarray, t_offs: jnp.ndarray,
     return jnp.einsum("nij,nj->ni", R_jk, points) + p_jk
 
 
+@hi_precision
 def imu_rate_odometry(state: NavState, batch: ImuBatch, noise: ImuNoise):
     """IMU-rate pose output between filter updates: forward-only
     propagation of (R, p, v) through a padded IMU batch, no covariance

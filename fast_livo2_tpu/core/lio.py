@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import so3
+from ..ops.precision import hi_precision
 from .state import DIM_STATE, NavState, boxminus, boxplus
 from .voxel_map import PlaneMatch, VoxelMap, VoxelMapConfig, match_planes
 
@@ -85,6 +86,7 @@ class LIOResult(NamedTuple):
     mean_residual: jnp.ndarray  # () mean |point-to-plane|
 
 
+@hi_precision
 def lio_update(
     state_prop: NavState,
     cov_prop: jnp.ndarray,

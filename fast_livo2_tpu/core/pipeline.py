@@ -25,12 +25,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# The filter core (19x19 covariance propagation/inversion, 3x3 eigh,
-# normal-equation contractions) needs true float32 accumulation: the TPU
-# MXU's default bf16-input matmul precision diverges the ESIKF (observed:
-# meter-scale drift within seconds). The engine's matmuls are all small,
-# so full-precision costs nothing measurable.
-jax.config.update("jax_default_matmul_precision", "highest")
+# Precision policy: the TPU MXU's default bf16-input matmul precision
+# diverges the ESIKF (observed: meter-scale drift within seconds). True
+# float32 accumulation is applied *surgically* — inside the SO(3) ops,
+# IMU propagation/undistortion, and the two filter updates (see
+# jax.default_matmul_precision scopes in ops/so3.py, core/imu.py,
+# core/lio.py, core/vio.py) — rather than globally: a global "highest"
+# tripled the voxel-map eigh pipeline's compile time for no accuracy
+# benefit (plane gates tolerate 1e-3 relative error).
 
 from ..models import camera as cam_mod
 from ..ops import so3

@@ -15,6 +15,7 @@ thread the two independently.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import so3
@@ -61,7 +62,8 @@ def boxplus(s: NavState, delta: jnp.ndarray) -> NavState:
     """State ⊞ 19-vector (common_lib.h:167-180). Rotation is retracted on
     the right: R <- R Exp(delta[0:3])."""
     return NavState(
-        rot=s.rot @ so3.exp(delta[0:3]),
+        rot=jnp.matmul(s.rot, so3.exp(delta[0:3]),
+                       precision=jax.lax.Precision.HIGHEST),
         pos=s.pos + delta[3:6],
         inv_expo=s.inv_expo + delta[6],
         vel=s.vel + delta[7:10],
@@ -76,7 +78,8 @@ def boxminus(a: NavState, b: NavState) -> jnp.ndarray:
     rotation block, plain differences elsewhere."""
     return jnp.concatenate(
         [
-            so3.log(b.rot.T @ a.rot),
+            so3.log(jnp.matmul(b.rot.T, a.rot,
+                               precision=jax.lax.Precision.HIGHEST)),
             a.pos - b.pos,
             (a.inv_expo - b.inv_expo)[None],
             a.vel - b.vel,

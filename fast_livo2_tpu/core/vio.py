@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ..models import camera as cam_mod
 from ..ops import image as img_ops
 from ..ops import so3
+from ..ops.precision import hi_precision
 from .state import DIM_STATE, NavState, boxminus, boxplus
 from .voxel_map import VoxelMap, VoxelMapConfig, query_plane
 
@@ -405,6 +406,7 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
     return submap, pool
 
 
+@hi_precision
 def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
                        cam: cam_mod.Camera, Rci, Pci, cfg: VIOConfig):
     """Coarse-to-fine iterated photometric ESIKF

@@ -46,7 +46,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops import voxel_hash
+from ..ops import eig3, voxel_hash
 from ..ops.voxel_hash import HashTable
 
 
@@ -128,7 +128,9 @@ def _fit_planes(layer: MapLayer, slots: jnp.ndarray, cfg: VoxelMapConfig,
     mean_local = layer.sum_p[s] / n_safe[:, None]
     cov = layer.sum_pp[s] / n_safe[:, None, None] - mean_local[:, :, None] * mean_local[:, None, :]
     cov = _sym(cov) + jnp.eye(3) * 1e-9
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    # Closed-form 3x3 eigensolver (ops/eig3): XLA's iterative eigh
+    # dominated compile+run time for these (N, 3, 3) batches.
+    evals, evecs = eig3.eigh3(cov)  # ascending
     lam0, lam1, lam2 = evals[:, 0], evals[:, 1], evals[:, 2]
     init_num = cfg.layer_init_num[min(layer_idx, len(cfg.layer_init_num) - 1)]
     enough = n > init_num

@@ -9,7 +9,13 @@ threshold so Exp/Log are smooth through the origin (required both for the
 filter near convergence and for finite-difference unit tests).
 """
 
+import jax
 import jax.numpy as jnp
+
+# Rotation algebra must accumulate in true float32 on TPU: the MXU's
+# default bf16 matmul precision injects ~4e-3 relative error per
+# composition, which integrates into unbounded attitude drift.
+_HI = jax.lax.Precision.HIGHEST
 
 _EPS = 1e-8
 _SMALL = 1e-4  # below this angle (rad), use Taylor series
@@ -46,7 +52,8 @@ def exp(w, dt=None):
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS * _EPS))
     K = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
-    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+    KK = jnp.matmul(K, K, precision=_HI)
+    return eye + a[..., None, None] * K + b[..., None, None] * KK
 
 
 def log(R):
@@ -107,9 +114,9 @@ def normalize_rotation(R):
     composed increments (the f64 reference never needs this; we do).
     """
     # R (3 I - R^T R) / 2 is a second-order orthogonalization step.
-    RtR = jnp.swapaxes(R, -1, -2) @ R
+    RtR = jnp.matmul(jnp.swapaxes(R, -1, -2), R, precision=_HI)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
-    return R @ (1.5 * eye - 0.5 * RtR)
+    return jnp.matmul(R, 1.5 * eye - 0.5 * RtR, precision=_HI)
 
 
 def euler_zyx(R):
