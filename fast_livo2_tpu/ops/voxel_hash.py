@@ -49,6 +49,12 @@ def make_table(capacity: int) -> HashTable:
 
 def _bucket(kx, ky, kz, capacity):
     h = (kx * _P1) ^ (ky * _P2) ^ (kz * _P3)
+    # murmur-style finalizer: the raw prime mix clusters badly for the
+    # small coordinate ranges of room-scale maps, which lengthens probe
+    # chains and drops inserts at the probe-window limit.
+    h = h ^ (h >> 13)
+    h = h * jnp.int32(-2048144789)  # 0x85ebca6b as signed int32
+    h = h ^ (h >> 16)
     return jnp.bitwise_and(h, capacity - 1)
 
 
