@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..ops import so3
 from ..ops.precision import hi_precision
 from .state import DIM_STATE, NavState, boxminus, boxplus
-from .voxel_map import PlaneMatch, VoxelMap, VoxelMapConfig, match_planes
+from .voxel_map import PlaneMatch, VoxelMap, VoxelMapConfig, match_planes, quad6
 
 
 def calc_body_cov(pts_b: jnp.ndarray, range_inc: float, degree_inc: float):
@@ -104,11 +104,12 @@ def lio_update(
     voxel_map.cpp:338-511).
 
     pts_body: (N, 3) undistorted, downsampled points in the LiDAR frame;
-    valid masks padding. The 5-iteration loop is unrolled; each iteration
-    is masked by the carried stop flag, reproducing the reference's
-    rematch/convergence logic exactly but branch-free.
+    valid masks padding. The iteration runs as a lax.while_loop with the
+    reference's rematch/convergence exit logic, so converged frames stop
+    after 2-3 iterations instead of paying all max_iterations.
     """
     f32 = cov_prop.dtype
+    n_pts = pts_body.shape[0]
     body_cov = calc_body_cov(pts_body, dept_err, beam_err)
     pts_imu = pts_body @ ext_R.T + ext_T
     crossmat = so3.skew(pts_imu)  # (N, 3, 3)
@@ -120,24 +121,34 @@ def lio_update(
 
     R_prop_ext = state_prop.rot @ ext_R
     var_meas_rot = jnp.einsum("ij,njk,lk->nil", R_prop_ext, body_cov, R_prop_ext)
+    pw_prop = pts_imu @ state_prop.rot.T + state_prop.pos
+    rot_var = cov_prop[0:3, 0:3]
+    t_var = cov_prop[3:6, 3:6]
 
-    state = state_prop
-    stop = jnp.asarray(False)
-    rematch = jnp.asarray(0, jnp.int32)
-    G_keep = jnp.zeros((DIM_STATE, DIM_STATE), f32)
-    last_match = None
+    empty_match = PlaneMatch(
+        valid=jnp.zeros(n_pts, bool),
+        normal=jnp.zeros((n_pts, 3), f32),
+        d=jnp.zeros(n_pts, f32),
+        center=jnp.zeros((n_pts, 3), f32),
+        dist=jnp.zeros(n_pts, f32),
+        sigma_plane=jnp.zeros(n_pts, f32),
+        cov_nn=jnp.zeros((n_pts, 6), f32),
+        cov_qq=jnp.zeros((n_pts, 6), f32),
+    )
 
-    for it in range(max_iterations):
+    def cond(carry):
+        it, state, stop, rematch, G_keep, match = carry
+        return (~stop) & (it < max_iterations)
+
+    def body(carry):
+        it, state, stop, rematch, G_keep, _ = carry
         pts_w = pts_imu @ state.rot.T + state.pos
-        rot_var = cov_prop[0:3, 0:3]
-        t_var = cov_prop[3:6, 3:6]
         var_w = (
             jnp.einsum("ij,njk,lk->nil", state.rot, body_cov, state.rot)
             + crossmat @ rot_var @ jnp.swapaxes(crossmat, -1, -2)
             + t_var
         )
         match = match_planes(vmap_state, pts_w, var_w, valid, map_cfg)
-        last_match = match
 
         n = match.normal
         use = match.valid & valid
@@ -147,11 +158,10 @@ def lio_update(
         z = -match.dist
 
         # Adaptive noise (:425-449) at the propagated state.
-        pw_prop = pts_imu @ state_prop.rot.T + state_prop.pos
         a_prop = pw_prop - match.center
         sigma_l = (
-            jnp.einsum("ni,nij,nj->n", a_prop, match.cov_nn, a_prop)
-            + jnp.einsum("ni,nij,nj->n", n, match.cov_qq, n)
+            quad6(match.cov_nn, a_prop)
+            + quad6(match.cov_qq, n)
             + jnp.einsum("ni,nij,nj->n", n, var_meas_rot, n)
         )
         R_inv = jnp.where(use, 1.0 / (1e-3 + sigma_l), 0.0)
@@ -163,19 +173,22 @@ def lio_update(
         G = jnp.zeros((DIM_STATE, DIM_STATE), f32).at[:, 0:6].set(K_1[:, 0:6] @ HTH6)
         vec = boxminus(state_prop, state)
         solution = K_1[:, 0:6] @ HTz6 + vec - G[:, 0:6] @ vec[0:6]
-
-        state_new = boxplus(state, solution)
-        state = jax.tree.map(lambda a, b: jnp.where(stop, a, b), state, state_new)
-        G_keep = jnp.where(stop, G_keep, G)
+        state = boxplus(state, solution)
 
         rot_add = jnp.linalg.norm(solution[0:3])
         t_add = jnp.linalg.norm(solution[3:6])
         converged = (rot_add * 57.3 < 0.01) & (t_add * 100.0 < 0.015)  # :477
         inc = jnp.where(
-            ~stop & (converged | ((rematch == 0) & (it == max_iterations - 2))), 1, 0
+            converged | ((rematch == 0) & (it == max_iterations - 2)), 1, 0
         )
         rematch = rematch + inc
-        stop = stop | (rematch >= 2) | (it == max_iterations - 1)
+        stop = (rematch >= 2) | (it == max_iterations - 1)
+        return (it + 1, state, stop, rematch, G, match)
+
+    init = (jnp.asarray(0, jnp.int32), state_prop, jnp.asarray(False),
+            jnp.asarray(0, jnp.int32), jnp.zeros((DIM_STATE, DIM_STATE), f32),
+            empty_match)
+    _, state, _, _, G_keep, last_match = jax.lax.while_loop(cond, body, init)
 
     cov_post = (jnp.eye(DIM_STATE, dtype=f32) - G_keep) @ cov_prop
 

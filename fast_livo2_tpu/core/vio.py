@@ -431,19 +431,19 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
     final_err = jnp.asarray(0.0, f32)
 
     for level in reversed(range(cfg.pyramid_levels)):
-        last_error = jnp.asarray(3e38, f32)
-        old_state = state  # state that produced last_error (pre-update)
-        stop = jnp.asarray(False)
-        for it in range(cfg.max_iterations):
+        scale = (1 << level) * (2 ** submap.search_level.astype(jnp.int32))
+        inv_scale = 1.0 / scale.astype(f32)
+        ref = submap.ref_expo[:, None] * submap.warp_patch[:, level, :]
+
+        def iter_body(carry, _level=level, scale=scale, inv_scale=inv_scale, ref=ref):
+            it, state, old_state, last_error, stop, G_keep, final_err = carry
             Rcw, Pcw = camera_pose(state, Rci, Pci)
             Jdp_dt = Rcw  # Rci @ Rwi^T (:1544)
             pf = submap.pos @ Rcw.T + Pcw
             px = cam_mod.world2cam(cam, pf)
-            scale = (1 << level) * (2 ** submap.search_level.astype(jnp.int32))
             ok = submap.valid & (pf[:, 2] > 1e-6)
             val, du, dv = img_ops.sample_patches_with_grad(img, px, scale, ps)
 
-            inv_scale = 1.0 / scale.astype(f32)
             tau = state.inv_expo
             Jimg = jnp.stack([du, dv], axis=-1) * (tau * inv_scale[:, None])[..., None]
             Jdpi = cam_mod.projection_jacobian(cam, pf)  # (M, 2, 3)
@@ -454,7 +454,7 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
                 "mpi,ij->mpj", -Jca, Jdp_dR
             )
             Jdt = jnp.einsum("mpi,ij->mpj", -Jca, Jdp_dt)
-            res = tau * val - submap.ref_expo[:, None] * submap.warp_patch[:, level, :]
+            res = tau * val - ref
             Hcol = (val * expo_col)[..., None]
             H = jnp.concatenate([JdR, Jdt, Hcol], axis=-1)  # (M, ps², 7)
 
@@ -474,20 +474,13 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
             # Accept/rollback rule (:1648-1681): on improvement save the
             # pre-update state and apply the solution; otherwise revert to
             # the saved state (undo the previous update) and stop.
-            accept = ~stop & (error <= last_error)
-            reject = ~stop & (error > last_error)
-
+            accept = error <= last_error
             new_state = boxplus(state, sol)
             old_state, state = (
-                jax.tree.map(
-                    lambda old, cur: jnp.where(accept, cur, old), old_state, state
-                ),
-                jax.tree.map(
-                    lambda old, cur, new: jnp.where(
-                        accept, new, jnp.where(reject, old, cur)
-                    ),
-                    old_state, state, new_state,
-                ),
+                jax.tree.map(lambda old, cur: jnp.where(accept, cur, old),
+                             old_state, state),
+                jax.tree.map(lambda old, new: jnp.where(accept, new, old),
+                             old_state, new_state),
             )
             rot_add = jnp.linalg.norm(sol[0:3])
             t_add = jnp.linalg.norm(sol[3:6])
@@ -495,7 +488,18 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
             G_keep = jnp.where(accept, G, G_keep)
             final_err = jnp.where(accept, error, final_err)
             last_error = jnp.where(accept, error, last_error)
-            stop = stop | reject | (accept & converged)
+            stop = ~accept | converged
+            return (it + 1, state, old_state, last_error, stop, G_keep, final_err)
+
+        def iter_cond(carry):
+            it, stop = carry[0], carry[4]
+            return (~stop) & (it < cfg.max_iterations)
+
+        init = (jnp.asarray(0, jnp.int32), state, state, jnp.asarray(3e38, f32),
+                jnp.asarray(False), G_keep, final_err)
+        (_, state, _, _, _, G_keep, final_err) = jax.lax.while_loop(
+            iter_cond, iter_body, init
+        )
 
     cov = cov_prop - G_keep @ cov_prop
     return state, cov, final_err

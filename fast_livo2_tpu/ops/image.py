@@ -40,28 +40,36 @@ def sample_patches(img: jnp.ndarray, px: jnp.ndarray, scale: jnp.ndarray,
     scale: (N,) int32 stride (1 << level). Mirrors getImagePatch
     (vio.cpp:203-225).
     """
-    dx, dy = patch_offsets(patch_size)  # (P,)
+    ps, half = patch_size, patch_size // 2
+    sp, su, sv = _superpatch(img, px, scale, ps + 1, lo=-half)
+    w_tl = ((1 - su) * (1 - sv))[:, None, None]
+    w_tr = (su * (1 - sv))[:, None, None]
+    w_bl = ((1 - su) * sv)[:, None, None]
+    w_br = (su * sv)[:, None, None]
+    return (
+        w_tl * sp[:, :ps, :ps] + w_tr * sp[:, :ps, 1:]
+        + w_bl * sp[:, 1:, :ps] + w_br * sp[:, 1:, 1:]
+    ).reshape(px.shape[0], ps * ps)
+
+
+def _superpatch(img: jnp.ndarray, px: jnp.ndarray, scale: jnp.ndarray,
+                size: int, lo: int):
+    """One fused gather of an s-strided (size x size) neighborhood per
+    point: SP[n, l, k] = img(y0 + (l+lo)*s, x0 + (k+lo)*s). Replaces the
+    4-gathers-per-bilinear pattern — the photometric iteration was
+    dispatch-bound on ~20 small gathers, not bandwidth."""
     u, v = px[:, 0], px[:, 1]
     s = scale.astype(jnp.float32)
-    ui = jnp.floor(u / s) * s
-    vi = jnp.floor(v / s) * s
-    su = (u - ui) / s
-    sv = (v - vi) / s
-    w_tl = (1 - su) * (1 - sv)
-    w_tr = su * (1 - sv)
-    w_bl = (1 - su) * sv
-    w_br = su * sv
-
-    sc = scale[:, None]
-    x0 = (ui.astype(jnp.int32)[:, None] + dx[None, :] * sc)  # (N, P)
-    y0 = (vi.astype(jnp.int32)[:, None] + dy[None, :] * sc)
-    tl = _gather(img, x0, y0)
-    tr = _gather(img, x0 + sc, y0)
-    bl = _gather(img, x0, y0 + sc)
-    br = _gather(img, x0 + sc, y0 + sc)
-    return (
-        w_tl[:, None] * tl + w_tr[:, None] * tr + w_bl[:, None] * bl + w_br[:, None] * br
-    )
+    ui = (jnp.floor(u / s) * s).astype(jnp.int32)
+    vi = (jnp.floor(v / s) * s).astype(jnp.int32)
+    su = (u.astype(jnp.float32) - ui) / s
+    sv = (v.astype(jnp.float32) - vi) / s
+    rng = (jnp.arange(size, dtype=jnp.int32) + lo)[None, :] * scale[:, None]
+    h, w = img.shape
+    xi = jnp.clip(ui[:, None] + rng, 0, w - 1)  # (N, size)
+    yi = jnp.clip(vi[:, None] + rng, 0, h - 1)
+    sp = img[yi[:, :, None], xi[:, None, :]]  # (N, size, size)
+    return sp, su, sv
 
 
 def sample_patches_with_grad(img: jnp.ndarray, px: jnp.ndarray, scale: jnp.ndarray,
@@ -70,32 +78,26 @@ def sample_patches_with_grad(img: jnp.ndarray, px: jnp.ndarray, scale: jnp.ndarr
     hot sampling of updateState (vio.cpp:1595-1620). Returns three
     (N, patch²) arrays; gradients are in *scaled* pixel units (the 1/scale
     factor of :1613 is applied by the caller's Jacobian chain)."""
-    dx, dy = patch_offsets(patch_size)
-    u, v = px[:, 0], px[:, 1]
-    s = scale.astype(jnp.float32)
-    ui = jnp.floor(u / s) * s
-    vi = jnp.floor(v / s) * s
-    su = (u - ui) / s
-    sv = (v - vi) / s
-    w_tl = ((1 - su) * (1 - sv))[:, None]
-    w_tr = (su * (1 - sv))[:, None]
-    w_bl = ((1 - su) * sv)[:, None]
-    w_br = (su * sv)[:, None]
+    ps, half = patch_size, patch_size // 2
+    size = ps + 4  # offsets -half-1 .. half+2 relative to the base corner
+    sp, su, sv = _superpatch(img, px, scale, size, lo=-half - 1)
+    w_tl = ((1 - su) * (1 - sv))[:, None, None]
+    w_tr = (su * (1 - sv))[:, None, None]
+    w_bl = ((1 - su) * sv)[:, None, None]
+    w_br = (su * sv)[:, None, None]
 
-    sc = scale[:, None]
-    x0 = ui.astype(jnp.int32)[:, None] + dx[None, :] * sc
-    y0 = vi.astype(jnp.int32)[:, None] + dy[None, :] * sc
+    def bil(r0, c0):
+        """Bilinear values for the ps x ps patch whose top-left corner sits
+        at superpatch row r0 / col c0."""
+        block = sp[:, r0:r0 + ps + 1, c0:c0 + ps + 1]
+        return (
+            w_tl * block[:, :ps, :ps] + w_tr * block[:, :ps, 1:]
+            + w_bl * block[:, 1:, :ps] + w_br * block[:, 1:, 1:]
+        ).reshape(px.shape[0], ps * ps)
 
-    def bil(xo, yo):
-        tl = _gather(img, x0 + xo, y0 + yo)
-        tr = _gather(img, x0 + xo + sc, y0 + yo)
-        bl = _gather(img, x0 + xo, y0 + yo + sc)
-        br = _gather(img, x0 + xo + sc, y0 + yo + sc)
-        return w_tl * tl + w_tr * tr + w_bl * bl + w_br * br
-
-    val = bil(0, 0)
-    du = 0.5 * (bil(sc, 0) - bil(-sc, 0))
-    dv = 0.5 * (bil(0, sc) - bil(0, -sc))
+    val = bil(1, 1)
+    du = 0.5 * (bil(1, 2) - bil(1, 0))
+    dv = 0.5 * (bil(2, 1) - bil(0, 1))
     return val, du, dv
 
 

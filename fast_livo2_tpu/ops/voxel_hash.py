@@ -2,10 +2,12 @@
 
 TPU-native replacement for the reference's
 `std::unordered_map<VOXEL_LOCATION, ...>` (voxel_map.h:107-118, vio.h:126):
-keys are int32 voxel coordinates (kx, ky, kz), slots live in dense arrays
-indexed 0..capacity-1, and both lookup and insertion are fixed-shape
-batched ops (a handful of gathers/scatters per probe step), so they can
-run inside one jitted per-frame update.
+keys are int32 voxel coordinates packed as one (C, 3) array, slots live in
+dense arrays indexed 0..capacity-1, and both lookup and insertion are
+fixed-shape batched ops — one (N, 3) gather per probe step — so they run
+inside one jitted per-frame update. (Packing the three coordinates into a
+single array matters on TPU: the per-probe op count is what dominates the
+map update, not bandwidth.)
 
 Collision policy: linear probing with a fixed probe length. There are no
 per-slot deletions (map sliding compacts the whole table instead), so an
@@ -31,24 +33,18 @@ _P1, _P2, _P3 = 73856093, 19349669, 83492791
 
 class HashTable(NamedTuple):
     """Key storage only; value arrays are owned by the caller and indexed
-    by the slot ids this module returns."""
+    by the slot ids this module returns. keys[:, 0] == EMPTY marks a free
+    slot."""
 
-    kx: jnp.ndarray  # (C,) int32, EMPTY when free
-    ky: jnp.ndarray  # (C,) int32
-    kz: jnp.ndarray  # (C,) int32
+    keys: jnp.ndarray  # (C, 3) int32
 
 
 def make_table(capacity: int) -> HashTable:
-    # Three distinct buffers (a shared one breaks donation at jit edges).
-    return HashTable(
-        kx=jnp.full((capacity,), EMPTY, jnp.int32),
-        ky=jnp.full((capacity,), EMPTY, jnp.int32),
-        kz=jnp.full((capacity,), EMPTY, jnp.int32),
-    )
+    return HashTable(keys=jnp.full((capacity, 3), EMPTY, jnp.int32))
 
 
-def _bucket(kx, ky, kz, capacity):
-    h = (kx * _P1) ^ (ky * _P2) ^ (kz * _P3)
+def _bucket(keys, capacity):
+    h = (keys[..., 0] * _P1) ^ (keys[..., 1] * _P2) ^ (keys[..., 2] * _P3)
     # murmur-style finalizer: the raw prime mix clusters badly for the
     # small coordinate ranges of room-scale maps, which lengthens probe
     # chains and drops inserts at the probe-window limit.
@@ -68,19 +64,18 @@ def voxel_key(points: jnp.ndarray, voxel_size) -> jnp.ndarray:
 def lookup(table: HashTable, keys: jnp.ndarray, probes: int = 8) -> jnp.ndarray:
     """Find slots for a batch of keys (N, 3). Returns (N,) int32 slot ids,
     -1 where the key is absent."""
-    capacity = table.kx.shape[0]
-    kx, ky, kz = keys[:, 0], keys[:, 1], keys[:, 2]
-    h = _bucket(kx, ky, kz, capacity)
-    slot_out = jnp.full(kx.shape, -1, jnp.int32)
-    open_chain = jnp.ones(kx.shape, dtype=bool)  # probe chain not terminated
+    capacity = table.keys.shape[0]
+    h = _bucket(keys, capacity)
+    slot_out = jnp.full(h.shape, -1, jnp.int32)
+    open_chain = jnp.ones(h.shape, dtype=bool)
     for j in range(probes):
         s = jnp.bitwise_and(h + j, capacity - 1)
-        tx, ty, tz = table.kx[s], table.ky[s], table.kz[s]
-        found = (tx == kx) & (ty == ky) & (tz == kz)
+        tk = table.keys[s]  # (N, 3)
+        found = jnp.all(tk == keys, axis=-1)
         hit = open_chain & found
         slot_out = jnp.where(hit, s, slot_out)
         # An empty slot ends the chain: the key cannot be further along.
-        open_chain = open_chain & ~found & (tx != EMPTY)
+        open_chain = open_chain & ~found & (tk[:, 0] != EMPTY)
     return slot_out
 
 
@@ -93,23 +88,22 @@ def lookup_or_insert(table: HashTable, keys: jnp.ndarray, valid: jnp.ndarray,
     (new_table, slots) with slots (N,) int32, -1 only when the probe
     window was exhausted (overflow; callers drop those lanes).
     """
-    capacity = table.kx.shape[0]
-    kx, ky, kz = keys[:, 0], keys[:, 1], keys[:, 2]
-    n = kx.shape[0]
-    h = _bucket(kx, ky, kz, capacity)
+    capacity = table.keys.shape[0]
+    n = keys.shape[0]
+    h = _bucket(keys, capacity)
     lane = jnp.arange(n, dtype=jnp.int32)
     slot_out = jnp.full((n,), -1, jnp.int32)
     unresolved = valid
-    tkx, tky, tkz = table.kx, table.ky, table.kz
+    tkeys = table.keys
     for j in range(probes):
         s = jnp.bitwise_and(h + j, capacity - 1)
-        tx = tkx[s]
-        found = (tx == kx) & (tky[s] == ky) & (tkz[s] == kz)
+        tk = tkeys[s]
+        found = jnp.all(tk == keys, axis=-1)
         hit = unresolved & found
         slot_out = jnp.where(hit, s, slot_out)
         unresolved = unresolved & ~found
         # Claim empty slots: one winner per slot via scatter-max ticket.
-        cand = unresolved & (tx == EMPTY)
+        cand = unresolved & (tk[:, 0] == EMPTY)
         ticket = jnp.where(cand, lane, -1)
         s_or_oob = jnp.where(cand, s, capacity)  # drop non-candidates
         claims = jnp.full((capacity,), -1, jnp.int32).at[s_or_oob].max(
@@ -117,11 +111,9 @@ def lookup_or_insert(table: HashTable, keys: jnp.ndarray, valid: jnp.ndarray,
         )
         won = cand & (claims[s] == lane)
         ws = jnp.where(won, s, capacity)
-        tkx = tkx.at[ws].set(kx, mode="drop")
-        tky = tky.at[ws].set(ky, mode="drop")
-        tkz = tkz.at[ws].set(kz, mode="drop")
+        tkeys = tkeys.at[ws].set(keys, mode="drop")
         # Re-read: winners and same-key losers both resolve here.
-        refound = cand & (tkx[s] == kx) & (tky[s] == ky) & (tkz[s] == kz)
+        refound = cand & jnp.all(tkeys[s] == keys, axis=-1)
         slot_out = jnp.where(refound, s, slot_out)
         unresolved = unresolved & ~refound
-    return HashTable(kx=tkx, ky=tky, kz=tkz), slot_out
+    return HashTable(keys=tkeys), slot_out
