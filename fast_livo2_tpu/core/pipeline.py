@@ -137,6 +137,23 @@ class LIVOPipeline:
             self._lio_step, static_argnames=("first",), donate_argnums=(2,),
         )
         self._vio_jit = jax.jit(self._vio_step, donate_argnums=(2, 3))
+        self._colorize_jit = jax.jit(
+            lambda img, pts, valid, state: vio_mod.colorize_points(
+                img, pts, valid, state, self.cam, self.Rci, self.Pci,
+                blind=self.cfg.publish.blind_rgb_points,
+            )
+        )
+        # Colored world-map accumulation (pcd_save, LIVMapper.cpp:484-532)
+        self.pcd_accumulate = cfg.pcd_save.pcd_save_en
+        self._cloud_chunks: List = []
+        # Local-map sliding (mapSliding, voxel_map.cpp:924-948)
+        self._slide_jit = jax.jit(
+            lambda m, c: vmap_mod.slide_map(
+                m, c, cfg.local_map.half_map_size, self.map_cfg
+            ),
+            donate_argnums=(0,),
+        )
+        self._last_slide_pos = np.zeros(3)
 
     # ---------- jitted step bodies ----------
 
@@ -206,7 +223,25 @@ class LIVOPipeline:
         if m.sum() < max(self.cfg.imu.imu_int_frame, 5):
             return False
         grav, mean_norm = imu_mod.static_init(seq.imu_acc[m], seq.imu_gyr[m])
-        self.state = self.state._replace(grav=jnp.asarray(grav))
+        if self.cfg.uav.gravity_align_en:
+            # Align the world frame with gravity (uav/gravity_align_en):
+            # choose R0 s.t. R0-rotated gravity is exactly [0,0,-G].
+            g = grav / np.linalg.norm(grav)
+            tgt = np.array([0.0, 0.0, -1.0])
+            axis = np.cross(g, tgt)
+            s_n = np.linalg.norm(axis)
+            if s_n > 1e-8:
+                axis = axis / s_n
+                ang = float(np.arctan2(s_n, float(g @ tgt)))
+                R0 = np.asarray(so3.exp(jnp.asarray(axis * ang, jnp.float32)))
+            else:
+                R0 = np.eye(3, dtype=np.float32)
+            self.state = self.state._replace(
+                rot=jnp.asarray(R0, jnp.float32),
+                grav=jnp.asarray([0.0, 0.0, -9.81], jnp.float32),
+            )
+        else:
+            self.state = self.state._replace(grav=jnp.asarray(grav))
         self.noise = imu_mod.make_noise(
             acc_cov=self.cfg.imu.acc_cov, gyr_cov=self.cfg.imu.gyr_cov,
             b_acc_cov=self.cfg.imu.b_acc_cov, b_gyr_cov=self.cfg.imu.b_gyr_cov,
@@ -303,6 +338,11 @@ class LIVOPipeline:
             pg = self._run_lio_packet(t_ev, seq, first=not self.map_inited)
             first = not self.map_inited
             self.map_inited = True
+            if self.cfg.local_map.map_sliding_en:
+                pos = np.asarray(self.state.pos)
+                if np.linalg.norm(pos - self._last_slide_pos) > self.cfg.local_map.sliding_thresh:
+                    self._last_slide_pos = pos
+                    self.vmap_state = self._slide_jit(self.vmap_state, self.state.pos)
             t_lio = time.perf_counter()
 
             n_trk = 0
@@ -316,6 +356,11 @@ class LIVOPipeline:
                 self.state, self.cov = res.state, res.cov
                 self.pool, self.ring = res.pool, res.ring
                 n_trk = res.n_tracked  # device scalar; converted at end
+                if self.pcd_accumulate:
+                    colors, vis = self._colorize_jit(
+                        jnp.asarray(img), pg_w, pg_valid, self.state
+                    )
+                    self._cloud_chunks.append((pg_w, colors, vis))
             t_vio = time.perf_counter()
 
             self.frame_id += 1
@@ -340,3 +385,22 @@ class LIVOPipeline:
                 if k in r and not isinstance(r[k], int):
                     r[k] = int(r[k])
         return self.trajectory
+
+    def save_pcd(self, path: str):
+        """Write the accumulated colored world cloud (savePCD,
+        LIVMapper.cpp:484-532), voxel-downsampled by filter_size_pcd
+        (first-point-per-voxel for the colors)."""
+        from ..io import export as export_mod
+
+        if not self._cloud_chunks:
+            raise ValueError("no accumulated cloud (set pcd_save.pcd_save_en)")
+        pts = np.concatenate([np.asarray(p)[np.asarray(v)] for p, c, v in self._cloud_chunks])
+        cols = np.concatenate([np.asarray(c)[np.asarray(v)] for p, c, v in self._cloud_chunks])
+        leaf = self.cfg.pcd_save.filter_size_pcd
+        keys = np.floor(pts / leaf).astype(np.int64)
+        _, idx = np.unique(keys, axis=0, return_index=True)
+        pts, cols = pts[idx], cols[idx]
+        if cols.shape[1] == 1:
+            cols = np.repeat(cols, 3, axis=1)
+        export_mod.write_pcd(path, pts, colors=np.clip(cols, 0, 255).astype(np.uint32))
+        return len(pts)

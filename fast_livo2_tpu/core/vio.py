@@ -803,3 +803,23 @@ def vio_step(state_prop: NavState, cov_prop, pool: VisualPool, ring: FrameRing,
         state=state, cov=cov, pool=pool, ring=ring,
         n_tracked=n_tracked, n_added=n_added, mean_error=mean_err,
     )
+
+
+def colorize_points(img, pts_w, valid, state: NavState, cam: cam_mod.Camera,
+                    Rci, Pci, blind: float = 0.0):
+    """Sample per-point image intensity/color at the projected location
+    (publish_frame_world's RGB rendering, LIVMapper.cpp:1133-1290, via
+    getInterpolatedPixel, vio.cpp:1742-1760). img: (H, W) gray or
+    (H, W, 3). Returns (colors (N, C), visible (N,))."""
+    Rcw, Pcw = camera_pose(state, Rci, Pci)
+    pc = pts_w @ Rcw.T + Pcw
+    px = cam_mod.world2cam(cam, pc)
+    vis = (
+        valid & (pc[:, 2] > blind)
+        & cam_mod.in_frame(cam, px, 1)
+    )
+    if img.ndim == 2:
+        img = img[:, :, None]
+    chans = [img_ops.bilinear(img[:, :, c], px) for c in range(img.shape[2])]
+    colors = jnp.stack(chans, axis=-1)
+    return jnp.where(vis[:, None], colors, 0.0), vis

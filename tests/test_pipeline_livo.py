@@ -85,3 +85,42 @@ def test_livo_tracks_and_uses_vision(livo_seq):
     assert rmse < 0.06, f"LIVO ATE RMSE {rmse:.3f} m"
     tracked = [r["n_tracked"] for r in pipe.log.rows[3:]]
     assert np.mean(tracked) > 20, f"VIO tracked too few points: {tracked}"
+
+
+def test_colorize_points():
+    import jax.numpy as jnp
+    from fast_livo2_tpu.core import vio as vio_mod
+    from fast_livo2_tpu.core.state import init_state
+
+    cam = cam_mod.make_camera(small_cam_cfg())
+    img = np.zeros((256, 320), np.float32)
+    img[:, :] = np.arange(320)[None, :]  # intensity = column index
+    state = init_state()
+    # camera at origin looking along +z (identity extrinsics)
+    pts = jnp.asarray([[0.0, 0.0, 2.0], [0.5, 0.0, 2.0], [0.0, 0.0, -1.0]], jnp.float32)
+    colors, vis = vio_mod.colorize_points(
+        jnp.asarray(img), pts, jnp.ones(3, bool), state,
+        cam, jnp.eye(3), jnp.zeros(3))
+    v = np.asarray(vis)
+    assert v[0] and v[1] and not v[2]  # behind-camera point invisible
+    # center pixel column = cx = 160; offset point projects at 160+50=210
+    np.testing.assert_allclose(np.asarray(colors[0, 0]), 160.0, atol=1.0)
+    np.testing.assert_allclose(np.asarray(colors[1, 0]), 210.0, atol=1.0)
+
+
+def test_gravity_alignment():
+    from fast_livo2_tpu.core.pipeline import LIVOPipeline
+    cfg = livo_config()
+    cfg.uav.gravity_align_en = True
+    pipe = LIVOPipeline(cfg, slam_mode="only_lio")
+
+    class FakeSeq:
+        imu_stamps = np.arange(100) / 200.0
+        # tilted gravity: device rolled 10 degrees
+        imu_acc = np.tile([0.0, np.sin(0.17) * 9.81, np.cos(0.17) * 9.81], (100, 1))
+        imu_gyr = np.zeros((100, 3))
+
+    assert pipe._init_imu(FakeSeq(), 0.6)
+    g_world = np.asarray(pipe.state.rot) @ np.array([0, np.sin(0.17), np.cos(0.17)]) * 9.81
+    np.testing.assert_allclose(g_world, [0, 0, 9.81], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(pipe.state.grav), [0, 0, -9.81], atol=1e-4)
