@@ -280,26 +280,28 @@ def _warp_homography(cam, ring, pool, pidx, ref_slot, Rcw, Pcw, cfg: VIOConfig):
     slot_c = jnp.clip(slot, 0, cfg.frame_ring - 1)
 
     h_img, w_img = ring.imgs.shape[1], ring.imgs.shape[2]
-    warps = []
-    for lvl in range(cfg.pyramid_levels):
-        sc = (1 << lvl) * (2.0**search.astype(jnp.float32))  # (M,)
-        px_patch = offs[None, :, :] * sc[:, None, None]  # (M, ps², 2)
-        samp = jnp.einsum("mij,mpj->mpi", Ainv, px_patch) + px_ref[:, None, :]
-        u, vv = samp[..., 0], samp[..., 1]
-        inb = (u >= 0) & (vv >= 0) & (u < w_img - 1) & (vv < h_img - 1)
-        x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w_img - 2)
-        y0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, h_img - 2)
-        su = u - x0
-        sv = vv - y0
-        g = lambda xo, yo: ring.imgs[slot_c[:, None], y0 + yo, x0 + xo]
-        val = (
-            (1 - su) * (1 - sv) * g(0, 0)
-            + su * (1 - sv) * g(1, 0)
-            + (1 - su) * sv * g(0, 1)
-            + su * sv * g(1, 1)
-        )
-        warps.append(jnp.where(inb, val, 0.0))
-    warp = jnp.stack(warps, axis=1)  # (M, L, ps²)
+    # All pyramid levels in one gather set: stack the level scaling into
+    # the patch axis (M, L*ps²) so the ref-image access is 4 gathers total
+    # instead of 4 per level.
+    lvl_sc = jnp.asarray([1 << l for l in range(cfg.pyramid_levels)], jnp.float32)
+    sc = lvl_sc[None, :, None, None] * (2.0 ** search.astype(jnp.float32))[:, None, None, None]
+    px_patch = offs[None, None, :, :] * sc  # (M, L, ps², 2)
+    samp = jnp.einsum("mij,mlpj->mlpi", Ainv, px_patch) + px_ref[:, None, None, :]
+    u, vv = samp[..., 0], samp[..., 1]
+    inb = (u >= 0) & (vv >= 0) & (u < w_img - 1) & (vv < h_img - 1)
+    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w_img - 2)
+    y0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, h_img - 2)
+    su = u - x0
+    sv = vv - y0
+    slot_b = slot_c[:, None, None]
+    g = lambda xo, yo: ring.imgs[slot_b, y0 + yo, x0 + xo]
+    val = (
+        (1 - su) * (1 - sv) * g(0, 0)
+        + su * (1 - sv) * g(1, 0)
+        + (1 - su) * sv * g(0, 1)
+        + su * sv * g(1, 1)
+    )
+    warp = jnp.where(inb, val, 0.0)  # (M, L, ps²)
     return search, warp, ref_ok
 
 

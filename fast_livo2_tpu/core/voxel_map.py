@@ -2,9 +2,11 @@
 
 TPU-native re-design of VoxelMapManager + VoxelOctoTree (reference
 include/voxel_map.h:129-257, src/voxel_map.cpp:55-335). The pointer-based
-adaptive octree becomes L independent open-addressing hash layers (layer
-l has voxel size v / 2^l). A voxel accumulates *running* plane statistics
-in voxel-local coordinates:
+adaptive octree becomes L stacked open-addressing hash layers (layer l
+has voxel size v / 2^l), all carried with a leading layer axis and
+processed with one vmapped op set per frame — the per-layer Python loop
+tripled kernel dispatch for no benefit. A voxel accumulates *running*
+plane statistics in voxel-local coordinates:
 
     count, sum_p = Σ (p_i - voxel_center), sum_pp = Σ (p_i - c)(p_i - c)^T,
     sum_C = Σ C_i   (C_i = world covariance of point i)
@@ -13,11 +15,9 @@ from which mean / scatter covariance / plane fit are recovered exactly.
 Local coordinates keep the Σpp^T - mean mean^T cancellation benign in
 float32 (|p_local| <= voxel diagonal instead of absolute world position).
 
-Storage is packed for op count, not elegance: all float statistics live
-in one (C, 15) array and all plane parameters in (C, 8) + (C, 12), with
-symmetric 3x3s as 6-vectors, so a probe/gather/scatter touches one array
-(the map update was dominated by op dispatch across a dozen field arrays,
-not bandwidth).
+Storage is packed for op count: all float statistics in one (L, C, 15)
+array and plane parameters in (L, C, 8) + (L, C, 12), symmetric 3x3s as
+6-vectors, so a probe/gather/scatter touches one array.
 
 The reference's octree semantics map onto layer masks:
 - a layer-l voxel is *active* for matching iff it is a fitted plane AND
@@ -50,6 +50,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import eig3, voxel_hash
 from ..ops.voxel_hash import HashTable
@@ -93,17 +94,15 @@ def quad6(s, v):
     )
 
 
-class MapLayer(NamedTuple):
-    table: HashTable
-    count: jnp.ndarray  # (C,) int32
-    stats: jnp.ndarray  # (C, 15) running moments, voxel-local
-    is_plane: jnp.ndarray  # (C,) bool
-    plane: jnp.ndarray  # (C, 8) fitted plane params (world frame)
-    plane_cov: jnp.ndarray  # (C, 12) plane parameter covariance
-
-
 class VoxelMap(NamedTuple):
-    layers: Sequence[MapLayer]  # tuple, layer 0 = coarsest
+    """All layers stacked on a leading L axis."""
+
+    keys: jnp.ndarray  # (L, C, 3) int32, EMPTY-marked free slots
+    count: jnp.ndarray  # (L, C) int32
+    stats: jnp.ndarray  # (L, C, 15)
+    is_plane: jnp.ndarray  # (L, C) bool
+    plane: jnp.ndarray  # (L, C, 8)
+    plane_cov: jnp.ndarray  # (L, C, 12)
 
 
 class VoxelMapConfig(NamedTuple):
@@ -119,39 +118,49 @@ class VoxelMapConfig(NamedTuple):
     max_points_num: int = 50
 
 
-def make_layer(capacity: int) -> MapLayer:
+def make_map(cfg: VoxelMapConfig) -> VoxelMap:
+    L, C = cfg.n_layers, 1 << cfg.capacity_log2
     f = jnp.float32
-    return MapLayer(
-        table=voxel_hash.make_table(capacity),
-        count=jnp.zeros(capacity, jnp.int32),
-        stats=jnp.zeros((capacity, STATS_W), f),
-        is_plane=jnp.zeros(capacity, bool),
-        plane=jnp.zeros((capacity, PLANE_W), f),
-        plane_cov=jnp.zeros((capacity, PCOV_W), f),
+    return VoxelMap(
+        keys=jnp.full((L, C, 3), voxel_hash.EMPTY, jnp.int32),
+        count=jnp.zeros((L, C), jnp.int32),
+        stats=jnp.zeros((L, C, STATS_W), f),
+        is_plane=jnp.zeros((L, C), bool),
+        plane=jnp.zeros((L, C, PLANE_W), f),
+        plane_cov=jnp.zeros((L, C, PCOV_W), f),
     )
 
 
-def make_map(cfg: VoxelMapConfig) -> VoxelMap:
-    cap = 1 << cfg.capacity_log2
-    return VoxelMap(layers=tuple(make_layer(cap) for _ in range(cfg.n_layers)))
+def layer_voxel_sizes(cfg: VoxelMapConfig) -> jnp.ndarray:
+    return jnp.asarray(
+        [cfg.voxel_size / (1 << l) for l in range(cfg.n_layers)], jnp.float32
+    )
 
 
-def layer_voxel_size(cfg: VoxelMapConfig, layer: int) -> float:
-    return cfg.voxel_size / (1 << layer)
+def layer_init_nums(cfg: VoxelMapConfig) -> jnp.ndarray:
+    nums = [
+        cfg.layer_init_num[min(l, len(cfg.layer_init_num) - 1)]
+        for l in range(cfg.n_layers)
+    ]
+    return jnp.asarray(nums, jnp.float32)
 
 
-def _fit_planes(layer: MapLayer, slots: jnp.ndarray, cfg: VoxelMapConfig,
-                layer_idx: int) -> MapLayer:
-    """Batched plane refit for the (possibly duplicated) slot list of
-    voxels touched this frame. Mirrors init_plane (voxel_map.cpp:55-135)
-    with the closed-form plane covariance documented above."""
-    vsize = layer_voxel_size(cfg, layer_idx)
+def _layer_keys(pts_w: jnp.ndarray, vsizes: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) world points -> (L, N, 3) per-layer voxel keys."""
+    return jnp.floor(pts_w[None, :, :] / vsizes[:, None, None]).astype(jnp.int32)
+
+
+def _fit_planes_one(keys_tab, count, stats, is_plane, plane, plane_cov,
+                    slots, vsize, init_num, cfg: VoxelMapConfig):
+    """Single-layer batched plane refit (vmapped over layers). Mirrors
+    init_plane (voxel_map.cpp:55-135) with the closed-form plane
+    covariance from the module docstring."""
     valid = slots >= 0
     s = jnp.where(valid, slots, 0)
 
-    n = layer.count[s].astype(jnp.float32)
+    n = count[s].astype(jnp.float32)
     n_safe = jnp.maximum(n, 1.0)
-    st = layer.stats[s]  # (N, 15)
+    st = stats[s]  # (N, 15)
     mean_local = st[:, 0:3] / n_safe[:, None]
     cov6 = st[:, 3:9] / n_safe[:, None] - sym6(
         mean_local[:, :, None] * mean_local[:, None, :]
@@ -161,17 +170,16 @@ def _fit_planes(layer: MapLayer, slots: jnp.ndarray, cfg: VoxelMapConfig,
     # dominated compile+run time for these (N, 3, 3) batches.
     evals, evecs = eig3.eigh3(cov)  # ascending
     lam0, lam1, lam2 = evals[:, 0], evals[:, 1], evals[:, 2]
-    init_num = cfg.layer_init_num[min(layer_idx, len(cfg.layer_init_num) - 1)]
     enough = n > init_num
-    is_plane = (lam0 < cfg.planner_threshold) & enough
+    new_is_plane = (lam0 < cfg.planner_threshold) & enough
 
-    voxel_center = (layer.table.keys[s].astype(jnp.float32) + 0.5) * vsize
+    voxel_center = (keys_tab[s].astype(jnp.float32) + 0.5) * vsize
     center_w = voxel_center + mean_local
 
     normal = evecs[:, :, 0]
     d = -jnp.sum(normal * center_w, axis=-1)
     radius = jnp.sqrt(jnp.clip(lam2, 0.0, None))
-    plane = jnp.concatenate(
+    new_plane = jnp.concatenate(
         [normal, d[:, None], center_w, radius[:, None]], axis=-1
     )
 
@@ -182,59 +190,63 @@ def _fit_planes(layer: MapLayer, slots: jnp.ndarray, cfg: VoxelMapConfig,
     d2 = (lam2 + lam0) / (n_safe * jnp.maximum((lam0 - lam2) ** 2, dmin))
     D = jnp.zeros_like(evals).at[:, 1].set(d1).at[:, 2].set(d2)
     cov_nn = sigma2[:, None, None] * jnp.einsum("nik,nk,njk->nij", evecs, D, evecs)
-    plane_cov = jnp.concatenate([sym6(cov_nn), C_bar6 / n_safe[:, None]], axis=-1)
+    new_pcov = jnp.concatenate([sym6(cov_nn), C_bar6 / n_safe[:, None]], axis=-1)
 
-    # Scatter plane fields back. Duplicate slots write identical values.
-    w = jnp.where(valid & enough, s, layer.count.shape[0])
-    return layer._replace(
-        is_plane=layer.is_plane.at[w].set(is_plane, mode="drop"),
-        plane=layer.plane.at[w].set(plane, mode="drop"),
-        plane_cov=layer.plane_cov.at[w].set(plane_cov, mode="drop"),
+    w = jnp.where(valid & enough, s, count.shape[0])
+    return (
+        is_plane.at[w].set(new_is_plane, mode="drop"),
+        plane.at[w].set(new_plane, mode="drop"),
+        plane_cov.at[w].set(new_pcov, mode="drop"),
     )
 
 
-def update_layer(layer: MapLayer, pts_w: jnp.ndarray, var_w6: jnp.ndarray,
-                 valid: jnp.ndarray, cfg: VoxelMapConfig, layer_idx: int) -> MapLayer:
-    """Insert one frame's points into a layer and refit touched planes.
-    Replaces UpdateOctoTree/init_plane (voxel_map.cpp:219-290) with
-    scatter-adds + batched closed-form eigendecomposition. var_w6: point
-    world covariances as sym6 (N, 6)."""
-    vsize = layer_voxel_size(cfg, layer_idx)
-    keys = voxel_hash.voxel_key(pts_w, vsize)
-    table, slots = voxel_hash.lookup_or_insert(layer.table, keys, valid, cfg.probes)
-    layer = layer._replace(table=table)
+def _update_layer_one(keys_tab, count, stats, is_plane, plane, plane_cov,
+                      pts_w, var_w6, valid, vsize, init_num,
+                      cfg: VoxelMapConfig):
+    """Single-layer insert + refit (vmapped over layers)."""
+    keys = jnp.floor(pts_w / vsize).astype(jnp.int32)
+    table, slots = voxel_hash.lookup_or_insert(
+        HashTable(keys=keys_tab), keys, valid, cfg.probes
+    )
+    keys_tab = table.keys
 
     ok = valid & (slots >= 0)
     s = jnp.where(ok, slots, 0)
     # Freeze full voxels (update_enable_ flip, voxel_map.cpp:240-245).
-    frozen = layer.count[s] >= cfg.max_points_num
+    frozen = count[s] >= cfg.max_points_num
     ok = ok & ~frozen
-    w = jnp.where(ok, slots, layer.count.shape[0])
+    w = jnp.where(ok, slots, count.shape[0])
 
     voxel_center = (keys.astype(jnp.float32) + 0.5) * vsize
     p_local = pts_w - voxel_center
     pp6 = sym6(p_local[:, :, None] * p_local[:, None, :])
     contrib = jnp.concatenate([p_local, pp6, var_w6], axis=-1)  # (N, 15)
 
-    layer = layer._replace(
-        count=layer.count.at[w].add(1, mode="drop"),
-        stats=layer.stats.at[w].add(contrib, mode="drop"),
+    count = count.at[w].add(1, mode="drop")
+    stats = stats.at[w].add(contrib, mode="drop")
+    is_plane, plane, plane_cov = _fit_planes_one(
+        keys_tab, count, stats, is_plane, plane, plane_cov,
+        jnp.where(ok, slots, -1), vsize, init_num, cfg,
     )
-    return _fit_planes(layer, jnp.where(ok, slots, -1), cfg, layer_idx)
+    return keys_tab, count, stats, is_plane, plane, plane_cov
 
 
 def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
                valid: jnp.ndarray, cfg: VoxelMapConfig) -> VoxelMap:
-    """Insert a frame into every layer (the flat-layer equivalent of the
-    octree's conditional subdivision — inactive layers are masked at
-    query time, so unconditional accumulation changes no matches).
-    var_w: (N, 3, 3) or (N, 6) sym6 point world covariances."""
+    """Insert a frame into every layer with one vmapped op set (the
+    flat-layer equivalent of the octree's conditional subdivision —
+    inactive layers are masked at query time). var_w: (N, 3, 3) or (N, 6)
+    sym6 point world covariances."""
     var_w6 = var_w if var_w.ndim == 2 else sym6(var_w)
-    layers = tuple(
-        update_layer(layer, pts_w, var_w6, valid, cfg, li)
-        for li, layer in enumerate(vmap_state.layers)
-    )
-    return VoxelMap(layers=layers)
+    vs = layer_voxel_sizes(cfg)
+    inits = layer_init_nums(cfg)
+    out = jax.vmap(
+        lambda k, c, st, ip, pl, pc, v, ini: _update_layer_one(
+            k, c, st, ip, pl, pc, pts_w, var_w6, valid, v, ini, cfg
+        )
+    )(vmap_state.keys, vmap_state.count, vmap_state.stats, vmap_state.is_plane,
+      vmap_state.plane, vmap_state.plane_cov, vs, inits)
+    return VoxelMap(*out)
 
 
 class PlaneMatch(NamedTuple):
@@ -252,21 +264,19 @@ class PlaneMatch(NamedTuple):
     cov_qq: jnp.ndarray  # (N, 6)
 
 
-def _candidate(layer: MapLayer, keys, pts_w, var_w6, cfg: VoxelMapConfig):
-    """Gate one layer's plane against the points. Returns per-point
-    (exists, is_plane, gate_ok, prob, fields)."""
-    slots = voxel_hash.lookup(layer.table, keys, cfg.probes)
+def _candidate_one(keys_tab, count, is_plane_tab, plane_tab, pcov_tab,
+                   keys, pts_w, var_w6, cfg: VoxelMapConfig):
+    """Gate one layer's plane against the points (vmapped over layers)."""
+    slots = voxel_hash.lookup(HashTable(keys=keys_tab), keys, cfg.probes)
     exists = slots >= 0
     s = jnp.where(exists, slots, 0)
-    is_pl = layer.is_plane[s] & exists
-    pl = layer.plane[s]  # (N, 8)
-    pc = layer.plane_cov[s]  # (N, 12)
+    is_pl = is_plane_tab[s] & exists
+    pl = plane_tab[s]  # (N, 8)
+    pc = pcov_tab[s]  # (N, 12)
     n = pl[:, 0:3]
     d = pl[:, 3]
     c = pl[:, 4:7]
     radius = pl[:, 7]
-    cov_nn6 = pc[:, 0:6]
-    cov_qq6 = pc[:, 6:12]
 
     dist = jnp.sum(n * pts_w, axis=-1) + d
     a = pts_w - c
@@ -274,7 +284,7 @@ def _candidate(layer: MapLayer, keys, pts_w, var_w6, cfg: VoxelMapConfig):
     range_dis2 = jnp.clip(dc2 - dist * dist, 0.0, None)
     in_radius = range_dis2 <= (3.0 * radius) ** 2  # radius_k=3 (:719)
 
-    sigma_plane = quad6(cov_nn6, a) + quad6(cov_qq6, n)
+    sigma_plane = quad6(pc[:, 0:6], a) + quad6(pc[:, 6:12], n)
     sigma_l = sigma_plane + quad6(var_w6, n)
     sigma_l = jnp.clip(sigma_l, 1e-12, None)
     gate = jnp.abs(dist) < cfg.sigma_num * jnp.sqrt(sigma_l)
@@ -284,7 +294,10 @@ def _candidate(layer: MapLayer, keys, pts_w, var_w6, cfg: VoxelMapConfig):
         jax.lax.rsqrt(sigma_l) * jnp.exp(-0.5 * dist * dist / sigma_l),
         -1.0,
     )
-    return exists, is_pl, ok, prob, (n, d, c, dist, sigma_plane, cov_nn6, cov_qq6)
+    fields = jnp.concatenate(
+        [n, d[:, None], c, dist[:, None], sigma_plane[:, None], pc], axis=-1
+    )  # (N, 3+1+3+1+1+12 = 21)
+    return exists, is_pl, ok, prob, fields
 
 
 def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
@@ -295,8 +308,9 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
     Per point we gate up to n_layers + 1 candidates: the containing voxel
     chain (layer l active iff its ancestors exist and are not planes) and
     the nearest neighbor root voxel, which is only considered when the own
-    chain fails (:680-691). The max-probability candidate wins. Deviations
-    from the reference, by design:
+    chain fails (:680-691). The max-probability candidate wins. All layers
+    evaluate as one vmapped op set; only the tiny chain-mask combination
+    is per-layer. Deviations from the reference, by design:
     - sibling sub-voxels are not searched (the reference recurses into all
       8 children; the containing chain covers the dominant match);
     - the neighbor shift uses the point's offset within its voxel in
@@ -305,54 +319,62 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
     """
     var_w6 = var_w if var_w.ndim == 2 else sym6(var_w)
     n_pts = pts_w.shape[0]
-    vsize0 = cfg.voxel_size
-    keys0 = voxel_hash.voxel_key(pts_w, vsize0)
+    vsizes = layer_voxel_sizes(cfg)
+    keys_L = _layer_keys(pts_w, vsizes)  # (L, N, 3)
+    keys_nb = None
 
     # Nearest neighbor root voxel by in-voxel offset (quarter-length rule).
-    center0 = (keys0.astype(jnp.float32) + 0.5) * vsize0
+    center0 = (keys_L[0].astype(jnp.float32) + 0.5) * cfg.voxel_size
     off = pts_w - center0
-    quarter = vsize0 / 4.0
+    quarter = cfg.voxel_size / 4.0
     shift = jnp.where(off > quarter, 1, jnp.where(off < -quarter, -1, 0)).astype(jnp.int32)
-    keys_nb = keys0 + shift
+    keys_nb = keys_L[0] + shift
 
-    cands = []
+    # All own layers + the neighbor root in ONE vmapped evaluation: stack
+    # the neighbor as an extra "layer" that reuses layer 0's table.
+    keys_all = jnp.concatenate([keys_L, keys_nb[None]], axis=0)  # (L+1, N, 3)
+    idx = list(range(cfg.n_layers)) + [0]
+    tab_keys = vmap_state.keys[jnp.asarray(idx)]
+    tab_count = vmap_state.count[jnp.asarray(idx)]
+    tab_ispl = vmap_state.is_plane[jnp.asarray(idx)]
+    tab_plane = vmap_state.plane[jnp.asarray(idx)]
+    tab_pcov = vmap_state.plane_cov[jnp.asarray(idx)]
+
+    exists, is_pl, ok, prob, fields = jax.vmap(
+        lambda tk, tc, ti, tp, tv, k: _candidate_one(
+            tk, tc, ti, tp, tv, k, pts_w, var_w6, cfg
+        )
+    )(tab_keys, tab_count, tab_ispl, tab_plane, tab_pcov, keys_all)
+
+    # Chain masks (octree descent semantics) — tiny (L, N) logic.
     ancestor_open = jnp.ones(n_pts, bool)
-    for li, layer in enumerate(vmap_state.layers):
-        vs = layer_voxel_size(cfg, li)
-        keys_l = keys0 if li == 0 else voxel_hash.voxel_key(pts_w, vs)
-        exists, is_pl, ok, prob, fields = _candidate(layer, keys_l, pts_w, var_w6, cfg)
-        active = ancestor_open & ok
-        cands.append((active, jnp.where(active, prob, -1.0), fields))
-        ancestor_open = ancestor_open & exists & ~is_pl
-
-    nb_root = _candidate(vmap_state.layers[0], keys_nb, pts_w, var_w6, cfg)
+    actives = []
+    for li in range(cfg.n_layers):
+        active = ancestor_open & ok[li]
+        actives.append(active)
+        ancestor_open = ancestor_open & exists[li] & ~is_pl[li]
     any_own = jnp.zeros(n_pts, bool)
-    for active, _, _ in cands:
-        any_own = any_own | active
-    nb_active = nb_root[2] & ~any_own
-    nb_prob = jnp.where(nb_active, nb_root[3], -1.0)
+    for a in actives:
+        any_own = any_own | a
+    nb_active = ok[cfg.n_layers] & ~any_own
+    actives.append(nb_active)
+    active = jnp.stack(actives, axis=0)  # (L+1, N)
 
-    probs = jnp.stack([p for _, p, _ in cands] + [nb_prob], axis=0)  # (L+1, N)
+    probs = jnp.where(active, prob, -1.0)
     best = jnp.argmax(probs, axis=0)
     best_prob = jnp.max(probs, axis=0)
     any_valid = (best_prob > 0) & valid
 
-    field_stacks = [f for _, _, f in cands] + [nb_root[4]]
-
-    def take(i):
-        arr = jnp.stack([f[i] for f in field_stacks], axis=0)
-        idx = best.reshape((1, -1) + (1,) * (arr.ndim - 2))
-        return jnp.take_along_axis(arr, idx, axis=0)[0]
-
+    f = jnp.take_along_axis(fields, best[None, :, None], axis=0)[0]  # (N, 21)
     return PlaneMatch(
         valid=any_valid,
-        normal=take(0),
-        d=take(1),
-        center=take(2),
-        dist=take(3),
-        sigma_plane=take(4),
-        cov_nn=take(5),
-        cov_qq=take(6),
+        normal=f[:, 0:3],
+        d=f[:, 3],
+        center=f[:, 4:7],
+        dist=f[:, 7],
+        sigma_plane=f[:, 8],
+        cov_nn=f[:, 9:15],
+        cov_qq=f[:, 15:21],
     )
 
 
@@ -363,27 +385,35 @@ def query_plane(vmap_state: VoxelMap, pts_w: jnp.ndarray, cfg: VoxelMapConfig):
     (vio.cpp:981-1034). Returns (found, normal, d, center, radius,
     sigma_l) with sigma_l = a^T cov_nn a + n^T cov_qq n at pts_w."""
     n_pts = pts_w.shape[0]
+    vsizes = layer_voxel_sizes(cfg)
+    keys_L = _layer_keys(pts_w, vsizes)
+
+    def one(tk, ti, tp, tv, k):
+        slots = voxel_hash.lookup(HashTable(keys=tk), k, cfg.probes)
+        exists = slots >= 0
+        s = jnp.where(exists, slots, 0)
+        is_pl = ti[s] & exists
+        pl = tp[s]
+        pc = tv[s]
+        a = pts_w - pl[:, 4:7]
+        n = pl[:, 0:3]
+        sigma = quad6(pc[:, 0:6], a) + quad6(pc[:, 6:12], n)
+        return exists, is_pl, pl, sigma
+
+    exists, is_pl, pl, sigma = jax.vmap(one)(
+        vmap_state.keys, vmap_state.is_plane, vmap_state.plane,
+        vmap_state.plane_cov, keys_L,
+    )
     found = jnp.zeros(n_pts, bool)
     out_plane = jnp.zeros((n_pts, PLANE_W))
     out_sigma = jnp.zeros(n_pts)
     open_chain = jnp.ones(n_pts, bool)
-    for li, layer in enumerate(vmap_state.layers):
-        vs = layer_voxel_size(cfg, li)
-        keys = voxel_hash.voxel_key(pts_w, vs)
-        slots = voxel_hash.lookup(layer.table, keys, cfg.probes)
-        exists = slots >= 0
-        s = jnp.where(exists, slots, 0)
-        is_pl = layer.is_plane[s] & exists
-        hit = open_chain & is_pl
-        pl = layer.plane[s]
-        pc = layer.plane_cov[s]
-        a = pts_w - pl[:, 4:7]
-        n = pl[:, 0:3]
-        sigma = quad6(pc[:, 0:6], a) + quad6(pc[:, 6:12], n)
-        out_plane = jnp.where(hit[:, None], pl, out_plane)
-        out_sigma = jnp.where(hit, sigma, out_sigma)
+    for li in range(cfg.n_layers):
+        hit = open_chain & is_pl[li]
+        out_plane = jnp.where(hit[:, None], pl[li], out_plane)
+        out_sigma = jnp.where(hit, sigma[li], out_sigma)
         found = found | hit
-        open_chain = open_chain & exists & ~is_pl
+        open_chain = open_chain & exists[li] & ~is_pl[li]
     return (found, out_plane[:, 0:3], out_plane[:, 3], out_plane[:, 4:7],
             out_plane[:, 7], out_sigma)
 
@@ -397,30 +427,29 @@ def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
     re-inserted into a fresh table and their value rows gathered across.
     Intended to be called rarely (when the pose moved > sliding_thresh,
     like the reference)."""
-    new_layers = []
-    for li, layer in enumerate(vmap_state.layers):
-        vs = layer_voxel_size(cfg, li)
-        cap = layer.count.shape[0]
-        scale = 1 << li
-        ctr = jnp.floor(center_pos / vs).astype(jnp.int32)
-        half = half_map_size * scale
-        occupied = layer.table.keys[:, 0] != voxel_hash.EMPTY
-        keep = occupied & jnp.all(jnp.abs(layer.table.keys - ctr) <= half, axis=-1)
+    vsizes = layer_voxel_sizes(cfg)
+    halves = jnp.asarray(
+        [half_map_size * (1 << l) for l in range(cfg.n_layers)], jnp.int32
+    )
+    cap = vmap_state.count.shape[1]
+
+    def one(keys_tab, count, stats, is_plane, plane, plane_cov, vsize, half):
+        ctr = jnp.floor(center_pos / vsize).astype(jnp.int32)
+        occupied = keys_tab[:, 0] != voxel_hash.EMPTY
+        keep = occupied & jnp.all(jnp.abs(keys_tab - ctr) <= half, axis=-1)
         fresh = voxel_hash.make_table(cap)
         fresh, new_slots = voxel_hash.lookup_or_insert(
-            fresh, layer.table.keys, keep, cfg.probes
+            fresh, keys_tab, keep, cfg.probes
         )
         dst = jnp.where(keep & (new_slots >= 0), new_slots, cap)
 
         def move(arr):
             return jnp.zeros_like(arr).at[dst].set(arr, mode="drop")
 
-        new_layers.append(MapLayer(
-            table=fresh,
-            count=move(layer.count),
-            stats=move(layer.stats),
-            is_plane=move(layer.is_plane),
-            plane=move(layer.plane),
-            plane_cov=move(layer.plane_cov),
-        ))
-    return VoxelMap(layers=tuple(new_layers))
+        return (fresh.keys, move(count), move(stats), move(is_plane),
+                move(plane), move(plane_cov))
+
+    out = jax.vmap(one)(vmap_state.keys, vmap_state.count, vmap_state.stats,
+                        vmap_state.is_plane, vmap_state.plane,
+                        vmap_state.plane_cov, vsizes, halves)
+    return VoxelMap(*out)

@@ -93,12 +93,12 @@ def test_sharded_map_update_consistent():
     # inserts may legitimately drop at the probe-window limit; they must
     # drop in BOTH).
     keys = vm.voxel_hash.voxel_key(pts, cfg.voxel_size)
-    s_ref = np.asarray(vm.voxel_hash.lookup(ref.layers[0].table, keys))
-    s_out = np.asarray(vm.voxel_hash.lookup(out.layers[0].table, keys))
+    s_ref = np.asarray(vm.voxel_hash.lookup(vm.voxel_hash.HashTable(keys=ref.keys[0]), keys))
+    s_out = np.asarray(vm.voxel_hash.lookup(vm.voxel_hash.HashTable(keys=out.keys[0]), keys))
     assert (s_ref >= 0).mean() > 0.995
     found = (s_ref >= 0) & (s_out >= 0)
     assert found.mean() > 0.995
     np.testing.assert_array_equal(
-        np.asarray(ref.layers[0].count)[s_ref[found]],
-        np.asarray(out.layers[0].count)[s_out[found]],
+        np.asarray(ref.count[0])[s_ref[found]],
+        np.asarray(out.count[0])[s_out[found]],
     )
