@@ -100,6 +100,7 @@ class LIVOPipeline:
             img_point_cov=cfg.vio.img_point_cov,
             outlier_threshold=cfg.vio.outlier_threshold,
             exposure_estimate_en=cfg.vio.exposure_estimate_en,
+            raycast_en=cfg.vio.raycast_en,
         )
         ext = cfg.extrin_calib
         self.ext_R = jnp.asarray(np.array(ext.extrinsic_R, np.float32).reshape(3, 3))
@@ -115,6 +116,10 @@ class LIVOPipeline:
         self.Rci = jnp.asarray(Rcl @ Rli)
         self.Pci = jnp.asarray(Rcl @ Pli + Pcl)
 
+        self._ray_table = (
+            vio_mod.make_ray_table(self.cam, self.vio_cfg)
+            if cfg.vio.raycast_en else None
+        )
         # device state
         self.state: NavState = init_state()
         self.cov = init_cov()
@@ -213,7 +218,7 @@ class LIVOPipeline:
         return vio_mod.vio_step(
             state, cov, pool, ring, vmap_state, img, pg_w, pg_normal, pg_var,
             pg_valid, frame_id, self.cam, self.Rci, self.Pci, self.vio_cfg,
-            self.map_cfg,
+            self.map_cfg, ray_table=self._ray_table,
         )
 
     # ---------- host orchestration ----------

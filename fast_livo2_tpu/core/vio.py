@@ -27,8 +27,8 @@ TPU-native re-design of VIOManager (reference src/vio.cpp, include/vio.h):
   batched NCC re-scoring + normal refinement from the LIO plane map.
 
 Not implemented yet (config-gated off in all bundled configs): the
-raycast recovery module (vio.cpp:80-126, :487-591) and the
-inverse-compositional variant (:1327-1518).
+inverse-compositional variant (:1327-1518). The raycast recovery module
+(vio.cpp:80-126, :487-591) is implemented in raycast_recover below.
 """
 
 from typing import NamedTuple
@@ -64,6 +64,7 @@ class VIOConfig(NamedTuple):
     exposure_estimate_en: bool = True
     ncc_en: bool = False
     ncc_thre: float = 0.0
+    raycast_en: bool = False
     # map maintenance
     select_obs_gap_p: float = 0.5  # delta_p threshold (:939)
     select_obs_gap_theta: float = 0.3
@@ -776,10 +777,10 @@ class VIOStepResult(NamedTuple):
 def vio_step(state_prop: NavState, cov_prop, pool: VisualPool, ring: FrameRing,
              vmap_state: VoxelMap, img, pg_w, pg_normal, pg_var, pg_valid,
              frame_id, cam: cam_mod.Camera, Rci, Pci, cfg: VIOConfig,
-             map_cfg: VoxelMapConfig) -> VIOStepResult:
+             map_cfg: VoxelMapConfig, ray_table=None) -> VIOStepResult:
     """One full VIO frame (processFrame, vio.cpp:1786-1876): retrieval →
     iterated photometric update → new-point generation → observation
-    update → reference/normal refinement."""
+    update → reference/normal refinement → optional raycast recovery."""
     pool, ring, frame_slot = ring_insert(pool, ring, img, frame_id, cfg)
 
     Rcw0, Pcw0 = camera_pose(state_prop, Rci, Pci)
@@ -791,6 +792,25 @@ def vio_step(state_prop: NavState, cov_prop, pool: VisualPool, ring: FrameRing,
     state, cov, mean_err = photometric_update(
         state_prop, cov_prop, submap, img, cam, Rci, Pci, cfg
     )
+
+    if cfg.raycast_en and ray_table is not None:
+        from ..ops import voxel_hash
+
+        ray_samples, border_cell = ray_table
+        scan_tab, _ = voxel_hash.lookup_or_insert(
+            voxel_hash.make_table(8192),
+            voxel_hash.voxel_key(pg_w, map_cfg.voxel_size), pg_valid,
+        )
+        rc_pos, rc_nrm, rc_ok = raycast_recover(
+            vmap_state, map_cfg, ~submap.valid, border_cell, ray_samples,
+            scan_tab, state, Rci, Pci,
+        )
+        rc_var = jnp.tile(jnp.eye(3, dtype=pg_var.dtype) * 1e-2,
+                          (rc_pos.shape[0], 1, 1))
+        pg_w = jnp.concatenate([pg_w, rc_pos])
+        pg_normal = jnp.concatenate([pg_normal, rc_nrm])
+        pg_var = jnp.concatenate([pg_var, rc_var])
+        pg_valid = jnp.concatenate([pg_valid, rc_ok])
 
     pool, n_added = generate_points(
         pool, img, pg_w, pg_normal, pg_var, pg_valid, submap.valid, state, cam,
@@ -825,3 +845,67 @@ def colorize_points(img, pts_w, valid, state: NavState, cam: cam_mod.Camera,
     chans = [img_ops.bilinear(img[:, :, c], px) for c in range(img.shape[2])]
     colors = jnp.stack(chans, axis=-1)
     return jnp.where(vis[:, None], colors, 0.0), vis
+
+
+def make_ray_table(cam: cam_mod.Camera, cfg: VIOConfig,
+                   d_min: float = 0.1, d_max: float = 3.0, step: float = 0.2):
+    """Per-grid-cell raycast sample table (initializeVIO, vio.cpp:91-118):
+    unit bearings through each cell center scaled by a fixed depth ladder.
+    Returns (samples_cam (M, S, 3), border_cell (M,))."""
+    import numpy as np
+
+    gs, gnw, gnh = cfg.grid_size, cfg.grid_n_width, cfg.grid_n_height
+    rows, cols = np.meshgrid(np.arange(gnh), np.arange(gnw), indexing="ij")
+    u = (gs // 2 + cols * gs).reshape(-1).astype(np.float32)
+    v = (gs // 2 + rows * gs).reshape(-1).astype(np.float32)
+    border = (
+        (rows == 0) | (cols == 0) | (rows == gnh - 1) | (cols == gnw - 1)
+    ).reshape(-1)
+    f = cam_mod.cam2world(cam, jnp.stack([jnp.asarray(u), jnp.asarray(v)], axis=-1))
+    f = f / f[:, 2:3]  # unit depth
+    depths = jnp.arange(d_min, d_max + 1e-6, step, dtype=jnp.float32)
+    samples = f[:, None, :] * depths[None, :, None]  # (M, S, 3)
+    return samples, jnp.asarray(border)
+
+
+def raycast_recover(vmap_state: VoxelMap, map_cfg: VoxelMapConfig,
+                    cell_empty: jnp.ndarray, border_cell: jnp.ndarray,
+                    ray_samples: jnp.ndarray, scan_keys_table,
+                    state: NavState, Rci, Pci):
+    """Raycast recovery for LiDAR-blind grid cells (vio.cpp:487-591):
+    walk each empty, non-border cell's ray through the voxel grid; the
+    first sample whose voxel holds an LIO plane (and that is not occupied
+    by the current scan) contributes a candidate visual point at the plane
+    center with the plane normal (consumed by generate_points like the
+    reference's add_from_voxel_map list, vio.cpp:834-854).
+
+    The reference's other raycast outcome — re-projecting visual points of
+    voxels found along the ray — is subsumed here because retrieval
+    already projects the entire pool every frame.
+
+    Returns (cand_pos (M, 3), cand_normal (M, 3), cand_valid (M,))."""
+    from ..ops import voxel_hash
+
+    M, S, _ = ray_samples.shape
+    Rcw, Pcw = camera_pose(state, Rci, Pci)
+    R_wc = Rcw.T
+    cam_origin = -R_wc @ Pcw
+    pts_w = ray_samples.reshape(-1, 3) @ R_wc.T + cam_origin  # (M*S, 3)
+
+    keys0 = voxel_hash.voxel_key(pts_w, map_cfg.voxel_size)
+    touched = voxel_hash.lookup(scan_keys_table, keys0) >= 0  # scan occupancy
+    found, normal, d, center, radius, sigma = query_plane(vmap_state, pts_w, map_cfg)
+
+    touched = touched.reshape(M, S)
+    found = found.reshape(M, S)
+    # Stop at the first scan-touched voxel (reference breaks there, :517).
+    blocked = jnp.cumsum(touched.astype(jnp.int32), axis=1) > 0
+    usable = found & ~blocked
+    first = jnp.argmax(usable, axis=1)  # first True (0 if none)
+    has = jnp.any(usable, axis=1) & cell_empty & ~border_cell
+    take = first + jnp.arange(M) * S
+    return (
+        center.reshape(M * S, 3)[take],
+        normal.reshape(M * S, 3)[take],
+        has,
+    )

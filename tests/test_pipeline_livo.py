@@ -124,3 +124,20 @@ def test_gravity_alignment():
     g_world = np.asarray(pipe.state.rot) @ np.array([0, np.sin(0.17), np.cos(0.17)]) * 9.81
     np.testing.assert_allclose(g_world, [0, 0, 9.81], atol=1e-2)
     np.testing.assert_allclose(np.asarray(pipe.state.grav), [0, 0, -9.81], atol=1e-4)
+
+
+def test_livo_with_raycast_runs():
+    """raycast_en path: pipeline must run and recover candidates in
+    LiDAR-blind cells (narrow-FOV scan + wide camera)."""
+    cam = cam_mod.make_camera(small_cam_cfg())
+    seq = synthetic.make_sequence(
+        duration=1.6, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
+        seed=3, n_lines=10, n_per_line=400, render=True, fov_deg=40.0,
+    )
+    cfg = livo_config()
+    cfg.vio.raycast_en = True
+    pipe = LIVOPipeline(cfg, slam_mode="livo")
+    traj = pipe.process(seq)
+    assert len(traj) >= 8
+    p = np.array([p for _, _, p in traj])
+    assert np.isfinite(p).all() and np.abs(p).max() < 10
