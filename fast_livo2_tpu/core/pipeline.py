@@ -343,7 +343,10 @@ class LIVOPipeline:
             pg = self._run_lio_packet(t_ev, seq, first=not self.map_inited)
             first = not self.map_inited
             self.map_inited = True
-            if self.cfg.local_map.map_sliding_en:
+            # Sliding check costs one d2h (latency-bound on remote links):
+            # sample it every 10 frames — movement past sliding_thresh
+            # takes many frames anyway.
+            if self.cfg.local_map.map_sliding_en and self.frame_id % 10 == 0:
                 pos = np.asarray(self.state.pos)
                 if np.linalg.norm(pos - self._last_slide_pos) > self.cfg.local_map.sliding_thresh:
                     self._last_slide_pos = pos
@@ -382,13 +385,36 @@ class LIVOPipeline:
             if progress and n_done % 10 == 0:
                 print(f"[livo] frame {n_done} t={t_ev:.2f} "
                       f"pos={np.asarray(self.state.pos).round(3)}")
-        self.trajectory = [
-            (t, np.asarray(R), np.asarray(p)) for t, R, p in self.trajectory
-        ]
-        for r in self.log.rows:
-            for k in ("n_eff", "n_tracked"):
-                if k in r and not isinstance(r[k], int):
-                    r[k] = int(r[k])
+        # Batch ALL device->host conversions into one packed transfer: on a
+        # remote TPU link d2h is latency-bound (~100 ms per transfer of any
+        # size), so per-frame conversions would dwarf the compute.
+        new_idx = [i for i, (t, R, p) in enumerate(self.trajectory)
+                   if not isinstance(R, np.ndarray)]
+        if new_idx:
+            f32 = jnp.float32
+            Rs = jnp.stack([self.trajectory[i][1].reshape(9) for i in new_idx])
+            ps = jnp.stack([self.trajectory[i][2] for i in new_idx])
+            scal_rows = [r for r in self.log.rows
+                         if not isinstance(r.get("n_eff", 0), int)]
+            scal = (
+                jnp.stack([
+                    jnp.stack([jnp.asarray(r["n_eff"], f32),
+                               jnp.asarray(r["n_tracked"], f32)])
+                    for r in scal_rows
+                ]) if scal_rows else jnp.zeros((0, 2), f32)
+            )
+            packed = np.asarray(
+                jnp.concatenate([Rs, ps], axis=1)
+            )  # single d2h for poses
+            scal_np = np.asarray(scal) if scal_rows else None
+            for j, i in enumerate(new_idx):
+                t = self.trajectory[i][0]
+                self.trajectory[i] = (
+                    t, packed[j, :9].reshape(3, 3), packed[j, 9:12]
+                )
+            for j, r in enumerate(scal_rows):
+                r["n_eff"] = int(scal_np[j, 0])
+                r["n_tracked"] = int(scal_np[j, 1])
         return self.trajectory
 
     def save_pcd(self, path: str):

@@ -4,20 +4,23 @@ TPU-native re-design of VoxelMapManager + VoxelOctoTree (reference
 include/voxel_map.h:129-257, src/voxel_map.cpp:55-335). The pointer-based
 adaptive octree becomes L stacked open-addressing hash layers (layer l
 has voxel size v / 2^l), all carried with a leading layer axis and
-processed with one vmapped op set per frame — the per-layer Python loop
-tripled kernel dispatch for no benefit. A voxel accumulates *running*
-plane statistics in voxel-local coordinates:
+processed with one vmapped op set per frame.
 
-    count, sum_p = Σ (p_i - voxel_center), sum_pp = Σ (p_i - c)(p_i - c)^T,
-    sum_C = Σ C_i   (C_i = world covariance of point i)
+TPU storage design. Random gathers are latency-bound ops (~2 ms for 8k
+indices on a v5e regardless of width), so the layout minimizes *gather
+count*, not bytes:
 
-from which mean / scatter covariance / plane fit are recovered exactly.
-Local coordinates keep the Σpp^T - mean mean^T cancellation benign in
-float32 (|p_local| <= voxel diagonal instead of absolute world position).
-
-Storage is packed for op count: all float statistics in one (L, C, 15)
-array and plane parameters in (L, C, 8) + (L, C, 12), symmetric 3x3s as
-6-vectors, so a probe/gather/scatter touches one array.
+- every per-voxel field a query needs lives in ONE fused record array
+  `cells (L, C, CELL_W)`: [keys (0:3, int32 bitcast) | count (3) |
+  is_plane (4) | plane (5:13: normal,d,center,radius) |
+  plane_cov (13:25: cov_nn sym6, cov_qq sym6)];
+- linear probing makes the probe window contiguous, so a lookup gathers
+  rows h..h+P-1 in ONE windowed gather of (N, P, CELL_W) and resolves
+  key-compare + field select in registers — the whole point-to-plane
+  candidate evaluation costs one gather per layer set;
+- running moments `stats (L, C, 15)` = [sum_p | sum_pp sym6 | sum_C sym6]
+  (voxel-local coordinates, so the Σpp^T - mean mean^T cancellation is
+  benign in float32) are touched only by the insert path.
 
 The reference's octree semantics map onto layer masks:
 - a layer-l voxel is *active* for matching iff it is a fitted plane AND
@@ -50,17 +53,19 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import eig3, voxel_hash
-from ..ops.voxel_hash import HashTable
 
-# stats layout: [sum_p (0:3) | sum_pp sym6 (3:9) | sum_C sym6 (9:15)]
+EMPTY = voxel_hash.EMPTY
+
+# cells layout
+_K0, _K1 = 0, 3          # int32-bitcast voxel keys
+_CNT = 3                 # point count (float)
+_ISPL = 4                # 1.0 if fitted plane
+_PL0, _PL1 = 5, 13       # plane: normal(3), d, center(3), radius
+_PC0, _PC1 = 13, 25      # plane_cov: cov_nn sym6, cov_qq sym6
+CELL_W = 25
 STATS_W = 15
-# plane layout: [normal (0:3) | d (3) | center (4:7) | radius (7)]
-PLANE_W = 8
-# plane_cov layout: [cov_nn sym6 (0:6) | cov_qq sym6 (6:12)]
-PCOV_W = 12
 
 
 def sym6(m):
@@ -72,7 +77,6 @@ def sym6(m):
 
 
 def sym6_to_mat(s):
-    """(..., 6) -> (..., 3, 3)."""
     xx, xy, xz, yy, yz, zz = (s[..., i] for i in range(6))
     return jnp.stack(
         [
@@ -85,8 +89,7 @@ def sym6_to_mat(s):
 
 
 def quad6(s, v):
-    """v^T M v for sym6 M (..., 6) and vectors v (..., 3), no 3x3
-    materialization."""
+    """v^T M v for sym6 M (..., 6) and vectors v (..., 3)."""
     vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
     return (
         s[..., 0] * vx * vx + s[..., 3] * vy * vy + s[..., 5] * vz * vz
@@ -94,15 +97,17 @@ def quad6(s, v):
     )
 
 
-class VoxelMap(NamedTuple):
-    """All layers stacked on a leading L axis."""
+def _i2f(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
 
-    keys: jnp.ndarray  # (L, C, 3) int32, EMPTY-marked free slots
-    count: jnp.ndarray  # (L, C) int32
-    stats: jnp.ndarray  # (L, C, 15)
-    is_plane: jnp.ndarray  # (L, C) bool
-    plane: jnp.ndarray  # (L, C, 8)
-    plane_cov: jnp.ndarray  # (L, C, 12)
+
+def _f2i(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+class VoxelMap(NamedTuple):
+    cells: jnp.ndarray  # (L, C, 25) fused per-voxel record
+    stats: jnp.ndarray  # (L, C, 15) running moments (insert path only)
 
 
 class VoxelMapConfig(NamedTuple):
@@ -120,15 +125,9 @@ class VoxelMapConfig(NamedTuple):
 
 def make_map(cfg: VoxelMapConfig) -> VoxelMap:
     L, C = cfg.n_layers, 1 << cfg.capacity_log2
-    f = jnp.float32
-    return VoxelMap(
-        keys=jnp.full((L, C, 3), voxel_hash.EMPTY, jnp.int32),
-        count=jnp.zeros((L, C), jnp.int32),
-        stats=jnp.zeros((L, C, STATS_W), f),
-        is_plane=jnp.zeros((L, C), bool),
-        plane=jnp.zeros((L, C, PLANE_W), f),
-        plane_cov=jnp.zeros((L, C, PCOV_W), f),
-    )
+    cells = jnp.zeros((L, C, CELL_W), jnp.float32)
+    cells = cells.at[:, :, _K0:_K1].set(_i2f(jnp.full((L, C, 3), EMPTY, jnp.int32)))
+    return VoxelMap(cells=cells, stats=jnp.zeros((L, C, STATS_W), jnp.float32))
 
 
 def layer_voxel_sizes(cfg: VoxelMapConfig) -> jnp.ndarray:
@@ -145,22 +144,98 @@ def layer_init_nums(cfg: VoxelMapConfig) -> jnp.ndarray:
     return jnp.asarray(nums, jnp.float32)
 
 
-def _layer_keys(pts_w: jnp.ndarray, vsizes: jnp.ndarray) -> jnp.ndarray:
-    """(N, 3) world points -> (L, N, 3) per-layer voxel keys."""
-    return jnp.floor(pts_w[None, :, :] / vsizes[:, None, None]).astype(jnp.int32)
+def _bucket(keys, capacity):
+    return voxel_hash._bucket(keys, capacity)
 
 
-def _fit_planes_one(keys_tab, count, stats, is_plane, plane, plane_cov,
-                    slots, vsize, init_num, cfg: VoxelMapConfig):
-    """Single-layer batched plane refit (vmapped over layers). Mirrors
-    init_plane (voxel_map.cpp:55-135) with the closed-form plane
-    covariance from the module docstring."""
-    valid = slots >= 0
-    s = jnp.where(valid, slots, 0)
+def _lookup_window(cells, keys, probes: int):
+    """ONE windowed gather resolving a whole probe chain.
 
-    n = count[s].astype(jnp.float32)
+    cells: (C, 25); keys: (N, 3) int32. Returns (rec (N, 25) of the
+    matched slot (zeros if absent), slot (N,), found (N,))."""
+    C = cells.shape[0]
+    h = _bucket(keys, C)
+    offs = jnp.arange(probes, dtype=jnp.int32)
+    rows = jnp.bitwise_and(h[:, None] + offs[None, :], C - 1)  # (N, P)
+    win = cells[rows]  # (N, P, 25) — the single gather
+    wkeys = _f2i(win[:, :, _K0:_K1])
+    match = jnp.all(wkeys == keys[:, None, :], axis=-1)  # (N, P)
+    empty_before = jnp.cumsum(
+        (wkeys[:, :, 0] == EMPTY).astype(jnp.int32), axis=1
+    ) > 0
+    valid_match = match & ~jnp.roll(empty_before, 1, axis=1).at[:, 0].set(False)
+    found = jnp.any(valid_match, axis=1)
+    j = jnp.argmax(valid_match, axis=1)
+    rec = jnp.take_along_axis(win, j[:, None, None], axis=1)[:, 0, :]
+    slot = jnp.where(found, jnp.take_along_axis(rows, j[:, None], axis=1)[:, 0], -1)
+    rec = jnp.where(found[:, None], rec, 0.0)
+    return rec, slot, found
+
+
+def _insert(cells, keys, valid, probes: int):
+    """Find-or-claim slots (race-free batched insert; see
+    ops/voxel_hash.lookup_or_insert for the claim protocol). Returns
+    (cells, slot (N,))."""
+    C = cells.shape[0]
+    n = keys.shape[0]
+    h = _bucket(keys, C)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    slot_out = jnp.full((n,), -1, jnp.int32)
+
+    # Fast path: one windowed lookup resolves existing keys.
+    _, slot0, found0 = _lookup_window(cells, keys, probes)
+    slot_out = jnp.where(found0, slot0, slot_out)
+    unresolved = valid & ~found0
+
+    keys_f = _i2f(keys)
+    for j in range(probes):
+        s = jnp.bitwise_and(h + j, C - 1)
+        tk = _f2i(cells[s, _K0:_K1])
+        found = jnp.all(tk == keys, axis=-1)
+        hit = unresolved & found
+        slot_out = jnp.where(hit, s, slot_out)
+        unresolved = unresolved & ~found
+        cand = unresolved & (tk[:, 0] == EMPTY)
+        ticket = jnp.where(cand, lane, -1)
+        s_or_oob = jnp.where(cand, s, C)
+        claims = jnp.full((C,), -1, jnp.int32).at[s_or_oob].max(ticket, mode="drop")
+        won = cand & (claims[s] == lane)
+        ws = jnp.where(won, s, C)
+        cells = cells.at[ws, _K0:_K1].set(keys_f, mode="drop")
+        refound = cand & jnp.all(_f2i(cells[s, _K0:_K1]) == keys, axis=-1)
+        slot_out = jnp.where(refound, s, slot_out)
+        unresolved = unresolved & ~refound
+    return cells, slot_out
+
+
+def _update_layer_one(cells, stats, pts_w, var_w6, valid, vsize, init_num,
+                      cfg: VoxelMapConfig):
+    """Single-layer insert + refit (vmapped over layers). Mirrors
+    UpdateOctoTree/init_plane (voxel_map.cpp:219-290) as scatter-adds +
+    one batched closed-form eigendecomposition."""
+    C = cells.shape[0]
+    keys = jnp.floor(pts_w / vsize).astype(jnp.int32)
+    cells, slots = _insert(cells, keys, valid, cfg.probes)
+
+    ok = valid & (slots >= 0)
+    s = jnp.where(ok, slots, 0)
+    # Freeze full voxels (update_enable_ flip, voxel_map.cpp:240-245).
+    frozen = cells[s, _CNT] >= cfg.max_points_num
+    ok = ok & ~frozen
+    w = jnp.where(ok, slots, C)
+
+    voxel_center = (keys.astype(jnp.float32) + 0.5) * vsize
+    p_local = pts_w - voxel_center
+    pp6 = sym6(p_local[:, :, None] * p_local[:, None, :])
+    contrib = jnp.concatenate([p_local, pp6, var_w6], axis=-1)  # (N, 15)
+
+    cells = cells.at[w, _CNT].add(1.0, mode="drop")
+    stats = stats.at[w].add(contrib, mode="drop")
+
+    # ---- refit touched voxels (init_plane, voxel_map.cpp:55-135) ----
+    n = cells[s, _CNT]
     n_safe = jnp.maximum(n, 1.0)
-    st = stats[s]  # (N, 15)
+    st = stats[s]
     mean_local = st[:, 0:3] / n_safe[:, None]
     cov6 = st[:, 3:9] / n_safe[:, None] - sym6(
         mean_local[:, :, None] * mean_local[:, None, :]
@@ -171,17 +246,12 @@ def _fit_planes_one(keys_tab, count, stats, is_plane, plane, plane_cov,
     evals, evecs = eig3.eigh3(cov)  # ascending
     lam0, lam1, lam2 = evals[:, 0], evals[:, 1], evals[:, 2]
     enough = n > init_num
-    new_is_plane = (lam0 < cfg.planner_threshold) & enough
+    is_plane = ((lam0 < cfg.planner_threshold) & enough).astype(jnp.float32)
 
-    voxel_center = (keys_tab[s].astype(jnp.float32) + 0.5) * vsize
     center_w = voxel_center + mean_local
-
     normal = evecs[:, :, 0]
     d = -jnp.sum(normal * center_w, axis=-1)
     radius = jnp.sqrt(jnp.clip(lam2, 0.0, None))
-    new_plane = jnp.concatenate(
-        [normal, d[:, None], center_w, radius[:, None]], axis=-1
-    )
 
     C_bar6 = st[:, 9:15] / n_safe[:, None]
     sigma2 = (C_bar6[:, 0] + C_bar6[:, 3] + C_bar6[:, 5]) / 3.0
@@ -190,63 +260,51 @@ def _fit_planes_one(keys_tab, count, stats, is_plane, plane, plane_cov,
     d2 = (lam2 + lam0) / (n_safe * jnp.maximum((lam0 - lam2) ** 2, dmin))
     D = jnp.zeros_like(evals).at[:, 1].set(d1).at[:, 2].set(d2)
     cov_nn = sigma2[:, None, None] * jnp.einsum("nik,nk,njk->nij", evecs, D, evecs)
-    new_pcov = jnp.concatenate([sym6(cov_nn), C_bar6 / n_safe[:, None]], axis=-1)
 
-    w = jnp.where(valid & enough, s, count.shape[0])
-    return (
-        is_plane.at[w].set(new_is_plane, mode="drop"),
-        plane.at[w].set(new_plane, mode="drop"),
-        plane_cov.at[w].set(new_pcov, mode="drop"),
-    )
-
-
-def _update_layer_one(keys_tab, count, stats, is_plane, plane, plane_cov,
-                      pts_w, var_w6, valid, vsize, init_num,
-                      cfg: VoxelMapConfig):
-    """Single-layer insert + refit (vmapped over layers)."""
-    keys = jnp.floor(pts_w / vsize).astype(jnp.int32)
-    table, slots = voxel_hash.lookup_or_insert(
-        HashTable(keys=keys_tab), keys, valid, cfg.probes
-    )
-    keys_tab = table.keys
-
-    ok = valid & (slots >= 0)
-    s = jnp.where(ok, slots, 0)
-    # Freeze full voxels (update_enable_ flip, voxel_map.cpp:240-245).
-    frozen = count[s] >= cfg.max_points_num
-    ok = ok & ~frozen
-    w = jnp.where(ok, slots, count.shape[0])
-
-    voxel_center = (keys.astype(jnp.float32) + 0.5) * vsize
-    p_local = pts_w - voxel_center
-    pp6 = sym6(p_local[:, :, None] * p_local[:, None, :])
-    contrib = jnp.concatenate([p_local, pp6, var_w6], axis=-1)  # (N, 15)
-
-    count = count.at[w].add(1, mode="drop")
-    stats = stats.at[w].add(contrib, mode="drop")
-    is_plane, plane, plane_cov = _fit_planes_one(
-        keys_tab, count, stats, is_plane, plane, plane_cov,
-        jnp.where(ok, slots, -1), vsize, init_num, cfg,
-    )
-    return keys_tab, count, stats, is_plane, plane, plane_cov
+    rec_update = jnp.concatenate(
+        [
+            is_plane[:, None],
+            normal, d[:, None], center_w, radius[:, None],
+            sym6(cov_nn), C_bar6 / n_safe[:, None],
+        ],
+        axis=-1,
+    )  # (N, 1+8+12 = 21) -> columns _ISPL..CELL_W
+    wf = jnp.where(ok & enough, slots, C)
+    cells = cells.at[wf, _ISPL:CELL_W].set(rec_update, mode="drop")
+    return cells, stats
 
 
 def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
-               valid: jnp.ndarray, cfg: VoxelMapConfig) -> VoxelMap:
+               valid: jnp.ndarray, cfg: VoxelMapConfig,
+               mesh=None) -> VoxelMap:
     """Insert a frame into every layer with one vmapped op set (the
     flat-layer equivalent of the octree's conditional subdivision —
     inactive layers are masked at query time). var_w: (N, 3, 3) or (N, 6)
-    sym6 point world covariances."""
+    sym6 point world covariances.
+
+    SPMD contract: map *reads* (match_planes/query_plane) accept
+    measurement arrays sharded over a mesh axis — gathers from the
+    replicated table partition cleanly. Map *writes* must see the same
+    points on every device (the insert claim protocol mutates the table
+    between probe rounds); pass `mesh` to constrain the inputs replicated
+    (XLA inserts the all-gather — this is the backend's one cross-device
+    reduction)."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        pts_w = jax.lax.with_sharding_constraint(pts_w, rep)
+        var_w = jax.lax.with_sharding_constraint(var_w, rep)
+        valid = jax.lax.with_sharding_constraint(valid, rep)
     var_w6 = var_w if var_w.ndim == 2 else sym6(var_w)
     vs = layer_voxel_sizes(cfg)
     inits = layer_init_nums(cfg)
-    out = jax.vmap(
-        lambda k, c, st, ip, pl, pc, v, ini: _update_layer_one(
-            k, c, st, ip, pl, pc, pts_w, var_w6, valid, v, ini, cfg
+    cells, stats = jax.vmap(
+        lambda c, st, v, ini: _update_layer_one(
+            c, st, pts_w, var_w6, valid, v, ini, cfg
         )
-    )(vmap_state.keys, vmap_state.count, vmap_state.stats, vmap_state.is_plane,
-      vmap_state.plane, vmap_state.plane_cov, vs, inits)
-    return VoxelMap(*out)
+    )(vmap_state.cells, vmap_state.stats, vs, inits)
+    return VoxelMap(cells=cells, stats=stats)
 
 
 class PlaneMatch(NamedTuple):
@@ -264,19 +322,16 @@ class PlaneMatch(NamedTuple):
     cov_qq: jnp.ndarray  # (N, 6)
 
 
-def _candidate_one(keys_tab, count, is_plane_tab, plane_tab, pcov_tab,
-                   keys, pts_w, var_w6, cfg: VoxelMapConfig):
-    """Gate one layer's plane against the points (vmapped over layers)."""
-    slots = voxel_hash.lookup(HashTable(keys=keys_tab), keys, cfg.probes)
-    exists = slots >= 0
-    s = jnp.where(exists, slots, 0)
-    is_pl = is_plane_tab[s] & exists
-    pl = plane_tab[s]  # (N, 8)
-    pc = pcov_tab[s]  # (N, 12)
-    n = pl[:, 0:3]
-    d = pl[:, 3]
-    c = pl[:, 4:7]
-    radius = pl[:, 7]
+def _gate(rec, found, pts_w, var_w6, cfg: VoxelMapConfig):
+    """Candidate gating from a fused record (build_single_residual,
+    voxel_map.cpp:713-767). Pure register math — no memory access."""
+    is_pl = (rec[:, _ISPL] > 0.5) & found
+    n = rec[:, _PL0:_PL0 + 3]
+    d = rec[:, _PL0 + 3]
+    c = rec[:, _PL0 + 4:_PL0 + 7]
+    radius = rec[:, _PL0 + 7]
+    cov_nn6 = rec[:, _PC0:_PC0 + 6]
+    cov_qq6 = rec[:, _PC0 + 6:_PC0 + 12]
 
     dist = jnp.sum(n * pts_w, axis=-1) + d
     a = pts_w - c
@@ -284,7 +339,7 @@ def _candidate_one(keys_tab, count, is_plane_tab, plane_tab, pcov_tab,
     range_dis2 = jnp.clip(dc2 - dist * dist, 0.0, None)
     in_radius = range_dis2 <= (3.0 * radius) ** 2  # radius_k=3 (:719)
 
-    sigma_plane = quad6(pc[:, 0:6], a) + quad6(pc[:, 6:12], n)
+    sigma_plane = quad6(cov_nn6, a) + quad6(cov_qq6, n)
     sigma_l = sigma_plane + quad6(var_w6, n)
     sigma_l = jnp.clip(sigma_l, 1e-12, None)
     gate = jnp.abs(dist) < cfg.sigma_num * jnp.sqrt(sigma_l)
@@ -295,22 +350,23 @@ def _candidate_one(keys_tab, count, is_plane_tab, plane_tab, pcov_tab,
         -1.0,
     )
     fields = jnp.concatenate(
-        [n, d[:, None], c, dist[:, None], sigma_plane[:, None], pc], axis=-1
-    )  # (N, 3+1+3+1+1+12 = 21)
-    return exists, is_pl, ok, prob, fields
+        [n, d[:, None], c, dist[:, None], sigma_plane[:, None],
+         cov_nn6, cov_qq6], axis=-1,
+    )  # (N, 21)
+    return is_pl, ok, prob, fields
 
 
 def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
                  valid: jnp.ndarray, cfg: VoxelMapConfig) -> PlaneMatch:
     """Point-to-plane correspondence search (BuildResidualListOMP +
-    build_single_residual, voxel_map.cpp:643-786) as fixed-shape batch ops.
+    build_single_residual, voxel_map.cpp:643-786) as fixed-shape batch ops:
+    one windowed gather per (layer-chain + neighbor) candidate set, gating
+    in registers, max-probability selection.
 
     Per point we gate up to n_layers + 1 candidates: the containing voxel
     chain (layer l active iff its ancestors exist and are not planes) and
     the nearest neighbor root voxel, which is only considered when the own
-    chain fails (:680-691). The max-probability candidate wins. All layers
-    evaluate as one vmapped op set; only the tiny chain-mask combination
-    is per-layer. Deviations from the reference, by design:
+    chain fails (:680-691). Deviations from the reference, by design:
     - sibling sub-voxels are not searched (the reference recurses into all
       8 children; the containing chain covers the dominant match);
     - the neighbor shift uses the point's offset within its voxel in
@@ -320,31 +376,26 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
     var_w6 = var_w if var_w.ndim == 2 else sym6(var_w)
     n_pts = pts_w.shape[0]
     vsizes = layer_voxel_sizes(cfg)
-    keys_L = _layer_keys(pts_w, vsizes)  # (L, N, 3)
-    keys_nb = None
+    keys_L = jnp.floor(
+        pts_w[None, :, :] / vsizes[:, None, None]
+    ).astype(jnp.int32)  # (L, N, 3)
 
     # Nearest neighbor root voxel by in-voxel offset (quarter-length rule).
     center0 = (keys_L[0].astype(jnp.float32) + 0.5) * cfg.voxel_size
     off = pts_w - center0
     quarter = cfg.voxel_size / 4.0
     shift = jnp.where(off > quarter, 1, jnp.where(off < -quarter, -1, 0)).astype(jnp.int32)
-    keys_nb = keys_L[0] + shift
+    keys_all = jnp.concatenate([keys_L, (keys_L[0] + shift)[None]], axis=0)
 
-    # All own layers + the neighbor root in ONE vmapped evaluation: stack
-    # the neighbor as an extra "layer" that reuses layer 0's table.
-    keys_all = jnp.concatenate([keys_L, keys_nb[None]], axis=0)  # (L+1, N, 3)
-    idx = list(range(cfg.n_layers)) + [0]
-    tab_keys = vmap_state.keys[jnp.asarray(idx)]
-    tab_count = vmap_state.count[jnp.asarray(idx)]
-    tab_ispl = vmap_state.is_plane[jnp.asarray(idx)]
-    tab_plane = vmap_state.plane[jnp.asarray(idx)]
-    tab_pcov = vmap_state.plane_cov[jnp.asarray(idx)]
+    idx = jnp.asarray(list(range(cfg.n_layers)) + [0])
+    cells_all = vmap_state.cells[idx]  # (L+1, C, 25)
 
-    exists, is_pl, ok, prob, fields = jax.vmap(
-        lambda tk, tc, ti, tp, tv, k: _candidate_one(
-            tk, tc, ti, tp, tv, k, pts_w, var_w6, cfg
-        )
-    )(tab_keys, tab_count, tab_ispl, tab_plane, tab_pcov, keys_all)
+    def one(cells_l, keys):
+        rec, _, found = _lookup_window(cells_l, keys, cfg.probes)
+        is_pl, ok, prob, fields = _gate(rec, found, pts_w, var_w6, cfg)
+        return found, is_pl, ok, prob, fields
+
+    exists, is_pl, ok, prob, fields = jax.vmap(one)(cells_all, keys_all)
 
     # Chain masks (octree descent semantics) — tiny (L, N) logic.
     ancestor_open = jnp.ones(n_pts, bool)
@@ -356,8 +407,7 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
     any_own = jnp.zeros(n_pts, bool)
     for a in actives:
         any_own = any_own | a
-    nb_active = ok[cfg.n_layers] & ~any_own
-    actives.append(nb_active)
+    actives.append(ok[cfg.n_layers] & ~any_own)
     active = jnp.stack(actives, axis=0)  # (L+1, N)
 
     probs = jnp.where(active, prob, -1.0)
@@ -386,26 +436,21 @@ def query_plane(vmap_state: VoxelMap, pts_w: jnp.ndarray, cfg: VoxelMapConfig):
     sigma_l) with sigma_l = a^T cov_nn a + n^T cov_qq n at pts_w."""
     n_pts = pts_w.shape[0]
     vsizes = layer_voxel_sizes(cfg)
-    keys_L = _layer_keys(pts_w, vsizes)
+    keys_L = jnp.floor(pts_w[None, :, :] / vsizes[:, None, None]).astype(jnp.int32)
 
-    def one(tk, ti, tp, tv, k):
-        slots = voxel_hash.lookup(HashTable(keys=tk), k, cfg.probes)
-        exists = slots >= 0
-        s = jnp.where(exists, slots, 0)
-        is_pl = ti[s] & exists
-        pl = tp[s]
-        pc = tv[s]
-        a = pts_w - pl[:, 4:7]
-        n = pl[:, 0:3]
-        sigma = quad6(pc[:, 0:6], a) + quad6(pc[:, 6:12], n)
-        return exists, is_pl, pl, sigma
+    def one(cells_l, keys):
+        rec, _, found = _lookup_window(cells_l, keys, cfg.probes)
+        is_pl = (rec[:, _ISPL] > 0.5) & found
+        a = pts_w - rec[:, _PL0 + 4:_PL0 + 7]
+        n = rec[:, _PL0:_PL0 + 3]
+        sigma = quad6(rec[:, _PC0:_PC0 + 6], a) + quad6(
+            rec[:, _PC0 + 6:_PC0 + 12], n
+        )
+        return found, is_pl, rec[:, _PL0:_PL1], sigma
 
-    exists, is_pl, pl, sigma = jax.vmap(one)(
-        vmap_state.keys, vmap_state.is_plane, vmap_state.plane,
-        vmap_state.plane_cov, keys_L,
-    )
+    exists, is_pl, pl, sigma = jax.vmap(one)(vmap_state.cells, keys_L)
     found = jnp.zeros(n_pts, bool)
-    out_plane = jnp.zeros((n_pts, PLANE_W))
+    out_plane = jnp.zeros((n_pts, 8))
     out_sigma = jnp.zeros(n_pts)
     open_chain = jnp.ones(n_pts, bool)
     for li in range(cfg.n_layers):
@@ -418,38 +463,45 @@ def query_plane(vmap_state: VoxelMap, pts_w: jnp.ndarray, cfg: VoxelMapConfig):
             out_plane[:, 7], out_sigma)
 
 
+def map_keys(vmap_state: VoxelMap, layer: int) -> jnp.ndarray:
+    """(C, 3) int32 keys of one layer (EMPTY-marked), for tests/tools."""
+    return _f2i(vmap_state.cells[layer, :, _K0:_K1])
+
+
+def map_count(vmap_state: VoxelMap, layer: int) -> jnp.ndarray:
+    return vmap_state.cells[layer, :, _CNT].astype(jnp.int32)
+
+
 def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
               half_map_size: int, cfg: VoxelMapConfig) -> VoxelMap:
     """Local-map sliding: evict voxels outside a half_map_size box around
     the current position (mapSliding/clearMemOutOfMap,
     voxel_map.cpp:924-971). Open addressing cannot delete slots in place
     (probe chains would break), so each layer is *rebuilt*: surviving keys
-    re-inserted into a fresh table and their value rows gathered across.
+    re-inserted into a fresh table and their rows gathered across.
     Intended to be called rarely (when the pose moved > sliding_thresh,
     like the reference)."""
     vsizes = layer_voxel_sizes(cfg)
     halves = jnp.asarray(
         [half_map_size * (1 << l) for l in range(cfg.n_layers)], jnp.int32
     )
-    cap = vmap_state.count.shape[1]
+    C = vmap_state.cells.shape[1]
+    empty_cells = jnp.zeros((C, CELL_W), jnp.float32).at[:, _K0:_K1].set(
+        _i2f(jnp.full((C, 3), EMPTY, jnp.int32))
+    )
 
-    def one(keys_tab, count, stats, is_plane, plane, plane_cov, vsize, half):
+    def one(cells, stats, vsize, half):
+        keys = _f2i(cells[:, _K0:_K1])
         ctr = jnp.floor(center_pos / vsize).astype(jnp.int32)
-        occupied = keys_tab[:, 0] != voxel_hash.EMPTY
-        keep = occupied & jnp.all(jnp.abs(keys_tab - ctr) <= half, axis=-1)
-        fresh = voxel_hash.make_table(cap)
-        fresh, new_slots = voxel_hash.lookup_or_insert(
-            fresh, keys_tab, keep, cfg.probes
-        )
-        dst = jnp.where(keep & (new_slots >= 0), new_slots, cap)
+        occupied = keys[:, 0] != EMPTY
+        keep = occupied & jnp.all(jnp.abs(keys - ctr) <= half, axis=-1)
+        fresh, new_slots = _insert(empty_cells, keys, keep, cfg.probes)
+        dst = jnp.where(keep & (new_slots >= 0), new_slots, C)
+        # move full rows (keys were already written by _insert; overwrite
+        # with the complete record to carry plane/count data too)
+        fresh = fresh.at[dst].set(cells, mode="drop")
+        new_stats = jnp.zeros_like(stats).at[dst].set(stats, mode="drop")
+        return fresh, new_stats
 
-        def move(arr):
-            return jnp.zeros_like(arr).at[dst].set(arr, mode="drop")
-
-        return (fresh.keys, move(count), move(stats), move(is_plane),
-                move(plane), move(plane_cov))
-
-    out = jax.vmap(one)(vmap_state.keys, vmap_state.count, vmap_state.stats,
-                        vmap_state.is_plane, vmap_state.plane,
-                        vmap_state.plane_cov, vsizes, halves)
-    return VoxelMap(*out)
+    cells, stats = jax.vmap(one)(vmap_state.cells, vmap_state.stats, vsizes, halves)
+    return VoxelMap(cells=cells, stats=stats)

@@ -102,6 +102,23 @@ def main():
     phot = jax.jit(lambda s, c: vio_mod.photometric_update(s, c, submap, img, cam, Rci, Pci, vcfg))
     timeit("vio.photometric (4 lvl x 5 it)", lambda: phot(res.state, res.cov))
 
+    pgn = jnp.where(res.match.valid[:, None], res.match.normal, 0.0)
+    gen = jax.jit(lambda pl: vio_mod.generate_points(
+        pl, img, res.pts_w, pgn, res.var_w, down_valid, submap.valid,
+        res.state, cam, Rci, Pci, jnp.asarray(7, jnp.int32),
+        jnp.asarray(7, jnp.int32), vcfg)[0])
+    timeit("vio.generate_points", lambda: gen(pool2))
+    upd_obs = jax.jit(lambda pl: vio_mod.update_obs(
+        pl, submap, img, res.state, cam, Rci, Pci, jnp.asarray(7, jnp.int32),
+        jnp.asarray(7, jnp.int32), vcfg)[0])
+    timeit("vio.update_obs", lambda: upd_obs(pool2))
+    upd_ref = jax.jit(lambda pl: vio_mod.update_reference(
+        pl, m, map_cfg, submap, jnp.ones(submap.valid.shape[0], bool), vcfg))
+    timeit("vio.update_reference", lambda: upd_ref(pool2))
+    ring_i = jax.jit(lambda pl, rg: vio_mod.ring_insert(pl, rg, img,
+                                                        jnp.asarray(9, jnp.int32), vcfg)[:2])
+    timeit("vio.ring_insert", lambda: ring_i(pool2, ring2))
+
 
 if __name__ == "__main__":
     main()

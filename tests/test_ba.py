@@ -1,0 +1,138 @@
+"""Sliding-window refinement: perturbed keyframe poses must be pulled
+back to ground truth, and the keyframe-sharded run must match the
+single-device result."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fast_livo2_tpu.core import voxel_map as vm
+from fast_livo2_tpu.ops import so3
+from fast_livo2_tpu.parallel import ba, sharding as shd
+
+
+MAP_CFG = vm.VoxelMapConfig(voxel_size=0.5, n_layers=2, capacity_log2=14,
+                            layer_init_num=(5, 5))
+
+
+def _make_window(K=8, N=1500, pose_noise=0.02, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def plane_pts(n, normal, d):
+        normal = np.asarray(normal, np.float64)
+        a = np.array([1.0, 0, 0]) if abs(normal[0]) < 0.9 else np.array([0, 1.0, 0])
+        b1 = np.cross(normal, a); b1 /= np.linalg.norm(b1)
+        b2 = np.cross(normal, b1)
+        uv = rng.uniform(-5, 5, size=(n, 2))
+        return (-d * normal + uv[:, :1] * b1 + uv[:, 1:] * b2
+                + rng.normal(size=(n, 3)) * 0.004)
+
+    gt_rot, gt_pos, scans = [], [], []
+    for k in range(K):
+        # ground-truth pose along a small trajectory
+        w = rng.normal(size=3) * 0.05
+        R = np.asarray(so3.exp(jnp.asarray(w, jnp.float32)))
+        p = np.array([0.2 * k, 0.1 * np.sin(k), 0.05 * k])
+        world = np.concatenate([
+            plane_pts(N // 3, [0, 0, 1], 1.0),
+            plane_pts(N // 3, [1, 0, 0], -6.0),
+            plane_pts(N - 2 * (N // 3), [0, 1, 0], -6.0),
+        ])
+        body = (world - p) @ R  # R^T (w - p)
+        gt_rot.append(R)
+        gt_pos.append(p)
+        scans.append(body)
+    gt_rot, gt_pos = np.array(gt_rot), np.array(gt_pos)
+
+    # perturb
+    drot = np.array([
+        np.asarray(so3.exp(jnp.asarray(rng.normal(size=3) * pose_noise, jnp.float32)))
+        for _ in range(K)
+    ])
+    window = ba.Window(
+        rot=jnp.asarray(np.einsum("kij,kjl->kil", drot, gt_rot), jnp.float32),
+        pos=jnp.asarray(gt_pos + rng.normal(size=(K, 3)) * pose_noise, jnp.float32),
+        scans=jnp.asarray(np.array(scans), jnp.float32),
+        valid=jnp.ones((K, len(scans[0])), bool),
+    )
+    return window, gt_rot, gt_pos
+
+
+def _pose_err(window, gt_rot, gt_pos):
+    dp = np.linalg.norm(np.asarray(window.pos) - gt_pos, axis=-1)
+    dr = np.array([
+        np.linalg.norm(np.asarray(so3.log(jnp.asarray(
+            gt_rot[k].T @ np.asarray(window.rot[k]), jnp.float32))))
+        for k in range(len(gt_pos))
+    ])
+    return dp.mean(), dr.mean()
+
+
+def _aligned_pos_err(window, gt_pos):
+    """Position error after removing the common-mode rigid offset (the
+    consensus map cannot observe a global transform of the whole window)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from evaluate import umeyama
+
+    est = np.asarray(window.pos)
+    s, R, t = umeyama(est, gt_pos)
+    return float(np.linalg.norm((est @ R.T + t) - gt_pos, axis=-1).mean())
+
+
+def test_window_refinement_recovers_single_bad_keyframe():
+    """A keyframe with a corrupted pose must be pulled back by the
+    consensus of the others (the loop-polish use case)."""
+    window, gt_rot, gt_pos = _make_window(pose_noise=0.0)
+    rot = np.array(window.rot)
+    pos = np.array(window.pos)
+    rot[0] = np.asarray(so3.exp(jnp.asarray([0.02, -0.01, 0.015]))) @ rot[0]
+    pos[0] = pos[0] + np.array([0.03, -0.02, 0.04])
+    bad = window._replace(rot=jnp.asarray(rot), pos=jnp.asarray(pos))
+    err_before = np.linalg.norm(pos[0] - gt_pos[0])
+    refined, n_used = ba.refine_window(bad, MAP_CFG, outer_iters=2, gn_iters=3)
+    err_after = np.linalg.norm(np.asarray(refined.pos[0]) - gt_pos[0])
+    assert err_after < 0.4 * err_before, (err_before, err_after)
+    # the clean keyframes stay close to truth
+    others = np.linalg.norm(np.asarray(refined.pos[1:]) - gt_pos[1:], axis=-1)
+    assert others.max() < 0.015
+    assert int(np.min(np.asarray(n_used))) > 500
+
+
+def test_window_refinement_improves_consistency():
+    """All keyframes perturbed: the refinement tightens the window's
+    internal consistency (alignment-corrected pose scatter) and rotation
+    error — the global common mode is inherently unobservable."""
+    window, gt_rot, gt_pos = _make_window()
+    dp0 = _aligned_pos_err(window, gt_pos)
+    _, dr0 = _pose_err(window, gt_rot, gt_pos)
+    refined, _ = ba.refine_window(window, MAP_CFG, outer_iters=3, gn_iters=3)
+    dp1 = _aligned_pos_err(refined, gt_pos)
+    _, dr1 = _pose_err(refined, gt_rot, gt_pos)
+    assert dp1 < 0.75 * dp0, (dp0, dp1)
+    assert dr1 < 0.75 * dr0, (dr0, dr1)
+
+
+def test_window_refinement_sharded_matches():
+    window, gt_rot, gt_pos = _make_window()
+    ref, _ = ba.refine_window(window, MAP_CFG, outer_iters=1, gn_iters=2)
+
+    mesh = shd.make_mesh(8)
+    ksh = NamedSharding(mesh, P("dp"))
+    w_s = ba.Window(
+        rot=jax.device_put(window.rot, ksh),
+        pos=jax.device_put(window.pos, ksh),
+        scans=jax.device_put(window.scans, ksh),
+        valid=jax.device_put(window.valid, ksh),
+    )
+    out, _ = jax.jit(
+        lambda w: ba.refine_window(w, MAP_CFG, outer_iters=1, gn_iters=2,
+                                   mesh=mesh)
+    )(w_s)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.rot), np.asarray(ref.rot),
+                               atol=5e-4)

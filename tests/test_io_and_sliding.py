@@ -95,23 +95,23 @@ def test_map_sliding_preserves_in_box_evicts_outside():
     m = vm.make_map(cfg)
     m = vm.update_map(m, pts, var, jnp.ones(len(pts), bool), cfg)
 
-    n_occ = int(jnp.sum(m.keys[0, :, 0] != 0x7FFFFFFF))
+    n_occ = int(jnp.sum(vm.map_keys(m, 0)[:, 0] != 0x7FFFFFFF))
     m2 = vm.slide_map(m, jnp.zeros(3), half_map_size=20, cfg=cfg)
-    n_after = int(jnp.sum(m2.keys[0, :, 0] != 0x7FFFFFFF))
+    n_after = int(jnp.sum(vm.map_keys(m2, 0)[:, 0] != 0x7FFFFFFF))
     assert n_after < n_occ  # far cluster evicted
     # near points still found
     q = jnp.asarray(near[:200])
     slots = np.asarray(
         __import__("fast_livo2_tpu.ops.voxel_hash", fromlist=["lookup"]).lookup(
-            vm.voxel_hash.HashTable(keys=m2.keys[0]), vm.voxel_hash.voxel_key(q, 0.5)
+            vm.voxel_hash.HashTable(keys=vm.map_keys(m2, 0)), vm.voxel_hash.voxel_key(q, 0.5)
         )
     )
     assert (slots >= 0).mean() >= 0.98  # sub-% probe-window drops allowed
     # far points gone
     qf = jnp.asarray(far[:200])
     slots_f = np.asarray(
-        vm.voxel_hash.lookup(vm.voxel_hash.HashTable(keys=m2.keys[0]), vm.voxel_hash.voxel_key(qf, 0.5))
+        vm.voxel_hash.lookup(vm.voxel_hash.HashTable(keys=vm.map_keys(m2, 0)), vm.voxel_hash.voxel_key(qf, 0.5))
     )
     assert (slots_f < 0).all()
     # surviving slots keep their stats (counts preserved)
-    assert int(jnp.sum(m2.count[0])) > 0
+    assert int(jnp.sum(vm.map_count(m2, 0))) > 0

@@ -84,7 +84,11 @@ def test_sharded_map_update_consistent():
     mesh = shd.make_mesh(8)
     pt_sh = NamedSharding(mesh, P("dp"))
     m_s = shd.put_replicated(m, mesh)
-    out = jax.jit(lambda mm, p, v, vl: vm.update_map(mm, p, v, vl, cfg))(
+    # writes require replicated inputs (see update_map docstring): pass
+    # the mesh so the all-gather is inserted inside the jit
+    out = jax.jit(
+        lambda mm, p, v, vl: vm.update_map(mm, p, v, vl, cfg, mesh=mesh)
+    )(
         m_s, jax.device_put(pts, pt_sh),
         jax.device_put(var, NamedSharding(mesh, P("dp"))),
         jax.device_put(valid, pt_sh),
@@ -93,12 +97,12 @@ def test_sharded_map_update_consistent():
     # inserts may legitimately drop at the probe-window limit; they must
     # drop in BOTH).
     keys = vm.voxel_hash.voxel_key(pts, cfg.voxel_size)
-    s_ref = np.asarray(vm.voxel_hash.lookup(vm.voxel_hash.HashTable(keys=ref.keys[0]), keys))
-    s_out = np.asarray(vm.voxel_hash.lookup(vm.voxel_hash.HashTable(keys=out.keys[0]), keys))
+    s_ref = np.asarray(vm.voxel_hash.lookup(vm.voxel_hash.HashTable(keys=vm.map_keys(ref, 0)), keys))
+    s_out = np.asarray(vm.voxel_hash.lookup(vm.voxel_hash.HashTable(keys=vm.map_keys(out, 0)), keys))
     assert (s_ref >= 0).mean() > 0.995
     found = (s_ref >= 0) & (s_out >= 0)
     assert found.mean() > 0.995
     np.testing.assert_array_equal(
-        np.asarray(ref.count[0])[s_ref[found]],
-        np.asarray(out.count[0])[s_out[found]],
+        np.asarray((vm.map_count(ref, 0)))[s_ref[found]],
+        np.asarray((vm.map_count(out, 0)))[s_out[found]],
     )
