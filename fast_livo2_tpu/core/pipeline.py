@@ -135,6 +135,12 @@ class LIVOPipeline:
         self.pending: List[Tuple[np.ndarray, np.ndarray]] = []  # (pts, t_abs)
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self.log = FrameLog()
+        # Pre/post-update state traces (the reference's Log/mat_pre.txt /
+        # mat_out.txt rows, LIVMapper.cpp:284-286, 479-481): device
+        # snapshots, converted lazily by save_state_traces.
+        self.trace_pre: List = []
+        self.trace_post: List = []
+        self.state_trace_en = cfg.evo.pose_output_en
 
         # Donate only the big map/pool/ring buffers; state and cov are tiny
         # and their trajectory snapshots must outlive the next frame.
@@ -340,6 +346,8 @@ class LIVOPipeline:
                 continue
 
             t_frame0 = time.perf_counter()
+            if self.state_trace_en:
+                self.trace_pre.append((t_ev, self.state))
             pg = self._run_lio_packet(t_ev, seq, first=not self.map_inited)
             first = not self.map_inited
             self.map_inited = True
@@ -371,6 +379,8 @@ class LIVOPipeline:
                     self._cloud_chunks.append((pg_w, colors, vis))
             t_vio = time.perf_counter()
 
+            if self.state_trace_en:
+                self.trace_post.append((t_ev, self.state))
             self.frame_id += 1
             n_done += 1
             # Keep device arrays; converting here would force a blocking
@@ -435,3 +445,37 @@ class LIVOPipeline:
             cols = np.repeat(cols, 3, axis=1)
         export_mod.write_pcd(path, pts, colors=np.clip(cols, 0, 255).astype(np.uint32))
         return len(pts)
+
+    def save_state_traces(self, pre_path: str, post_path: str):
+        """Write pre/post-update state rows (t, euler deg, pos, vel, bg,
+        ba, inv_expo) like Log/mat_pre.txt / mat_out.txt, batched into one
+        device transfer per file."""
+        from ..ops import so3 as so3_mod
+
+        for path, trace in ((pre_path, self.trace_pre), (post_path, self.trace_post)):
+            if not trace:
+                continue
+            packed = jnp.stack([
+                jnp.concatenate([
+                    so3_mod.euler_zyx(s.rot) * 57.3, s.pos, s.vel, s.bias_g,
+                    s.bias_a, s.inv_expo[None],
+                ]) for _, s in trace
+            ])
+            rows = np.asarray(packed)
+            ts = np.array([t for t, _ in trace])
+            np.savetxt(path, np.column_stack([ts, rows]), fmt="%.6f")
+
+    def export_colmap(self, out_dir: str):
+        """COLMAP sparse-model text export of the camera trajectory and
+        the visual map points (reference vio.cpp:128-143, :1762-1784,
+        scripts/colmap_output.sh)."""
+        from ..io import export as export_mod
+
+        frames = []
+        for i, (t, R, p) in enumerate(self.trajectory):
+            Rcw = np.asarray(self.Rci) @ R.T
+            t_cw = -Rcw @ p + np.asarray(self.Pci)
+            frames.append((i + 1, Rcw, t_cw, f"{i + 1:05d}.png"))
+        pool_valid = np.asarray(self.pool.valid)
+        pts3d = np.asarray(self.pool.pos)[pool_valid]
+        export_mod.write_colmap(out_dir, self.cam, frames, points3d=pts3d)

@@ -222,7 +222,7 @@ def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
                   cam=None, seed=0, n_lines=16, n_per_line=800,
                   still_time=0.6, planes=None, traj=None,
                   render=True, fov_deg=70.0, R_ci=None,
-                  P_ci=None) -> SyntheticSequence:
+                  P_ci=None, exposure_fn=None) -> SyntheticSequence:
     """Build a full synthetic LIVO sequence. The first `still_time`
     seconds are stationary for IMU static initialization (the reference
     requires imu_int_frame frames of static data, IMU_Processing.cpp:104).
@@ -274,7 +274,9 @@ def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
         P_ci_ = np.zeros(3) if P_ci is None else P_ci
         t = 0.1
         while t < duration:
-            images.append((t, render_image(sh, planes, t, cam, R_ci=R_ci_, P_ci=P_ci_)))
+            expo = exposure_fn(t) if exposure_fn is not None else 1.0
+            images.append((t, render_image(sh, planes, t, cam, exposure=expo,
+                                           R_ci=R_ci_, P_ci=P_ci_)))
             t += 1.0 / img_hz
 
     gt = []

@@ -1,0 +1,63 @@
+"""Online exposure estimation + state-trace/COLMAP export surfaces."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from fast_livo2_tpu.core.pipeline import LIVOPipeline
+from fast_livo2_tpu.io import synthetic
+from fast_livo2_tpu.models import camera as cam_mod
+from tests.test_pipeline_livo import livo_config, small_cam_cfg
+
+
+def test_exposure_estimation_tracks_brightness_change():
+    """The 7th state column (inverse exposure) must track a synthetic
+    exposure ramp: residual r = tau*I_cur - tau_ref*I_ref only vanishes
+    when the estimated tau compensates the brightness change
+    (vio.cpp:1612-1628)."""
+    cam = cam_mod.make_camera(small_cam_cfg())
+    # exposure drops 30% over the sequence after the still phase
+    expo = lambda t: 1.0 / (1.0 + 0.5 * max(0.0, t - 0.6))
+    seq = synthetic.make_sequence(
+        duration=3.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
+        seed=5, n_lines=12, n_per_line=500, render=True, fov_deg=360.0,
+        exposure_fn=expo,
+    )
+    pipe = LIVOPipeline(livo_config(), slam_mode="livo")
+    traj = pipe.process(seq)
+    assert len(traj) >= 20
+    # estimated inverse exposure (relative to its initial value) should
+    # rise as true exposure falls: tau ~ 1/exposure
+    tau = float(np.asarray(pipe.state.inv_expo))
+    t_end = traj[-1][0]
+    expected_ratio = 1.0 / expo(t_end)  # tau_end / tau_start
+    assert tau > 1.0 + 0.4 * (expected_ratio - 1.0), (tau, expected_ratio)
+    # and the pose still tracks
+    est = [(t, p) for t, R, p in traj]
+    rmse = synthetic.ate_rmse(est, seq.gt)
+    assert rmse < 0.08, rmse
+
+
+def test_state_traces_and_colmap_export(tmp_path):
+    seq = synthetic.make_sequence(
+        duration=1.5, lidar_hz=10.0, imu_hz=200.0, seed=0,
+        n_lines=10, n_per_line=400, render=False, fov_deg=360.0,
+    )
+    cfg = livo_config()
+    cfg.evo.pose_output_en = True
+    pipe = LIVOPipeline(cfg, slam_mode="only_lio")
+    pipe.process(seq)
+    pre = str(tmp_path / "mat_pre.txt")
+    post = str(tmp_path / "mat_out.txt")
+    pipe.save_state_traces(pre, post)
+    a = np.loadtxt(pre)
+    b = np.loadtxt(post)
+    assert a.shape == b.shape and a.shape[1] == 17  # t + 16 state cols
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+
+    out = str(tmp_path / "colmap")
+    pipe.export_colmap(out)
+    assert os.path.exists(os.path.join(out, "sparse", "0", "cameras.txt"))
+    imgs = open(os.path.join(out, "sparse", "0", "images.txt")).read()
+    assert len(imgs.splitlines()) >= 3 + 2 * len(pipe.trajectory)
