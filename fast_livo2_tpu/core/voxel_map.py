@@ -8,19 +8,21 @@ processed with one vmapped op set per frame.
 
 TPU storage design. Random gathers are latency-bound ops (~2 ms for 8k
 indices on a v5e regardless of width), so the layout minimizes *gather
-count*, not bytes:
+count* — and every scatter writes FULL rows of its array (column-slice
+scatters defeat XLA's in-place aliasing and copy the whole buffer; a
+fused single-array layout cost ~1 s/frame for exactly that reason):
 
-- every per-voxel field a query needs lives in ONE fused record array
-  `cells (L, C, CELL_W)`: [keys (0:3, int32 bitcast) | count (3) |
-  is_plane (4) | plane (5:13: normal,d,center,radius) |
-  plane_cov (13:25: cov_nn sym6, cov_qq sym6)];
-- linear probing makes the probe window contiguous, so a lookup gathers
-  rows h..h+P-1 in ONE windowed gather of (N, P, CELL_W) and resolves
-  key-compare + field select in registers — the whole point-to-plane
-  candidate evaluation costs one gather per layer set;
+- `keys (L, C, 3)` int32 open-addressing keys: linear probing makes the
+  probe window contiguous, so a lookup gathers rows h..h+P-1 in ONE
+  windowed gather (N, P, 3) and resolves the chain in registers;
+- `rec (L, C, 21)` per-voxel query record
+  [is_plane (0) | plane (1:9: normal,d,center,radius) |
+   plane_cov (9:21: cov_nn sym6, cov_qq sym6)] — one gather serves the
+  whole candidate gating;
+- `cnt (L, C)` float point counts (insert path only);
 - running moments `stats (L, C, 15)` = [sum_p | sum_pp sym6 | sum_C sym6]
   (voxel-local coordinates, so the Σpp^T - mean mean^T cancellation is
-  benign in float32) are touched only by the insert path.
+  benign in float32), insert path only.
 
 The reference's octree semantics map onto layer masks:
 - a layer-l voxel is *active* for matching iff it is a fitted plane AND
@@ -58,13 +60,11 @@ from ..ops import eig3, voxel_hash
 
 EMPTY = voxel_hash.EMPTY
 
-# cells layout
-_K0, _K1 = 0, 3          # int32-bitcast voxel keys
-_CNT = 3                 # point count (float)
-_ISPL = 4                # 1.0 if fitted plane
-_PL0, _PL1 = 5, 13       # plane: normal(3), d, center(3), radius
-_PC0, _PC1 = 13, 25      # plane_cov: cov_nn sym6, cov_qq sym6
-CELL_W = 25
+# rec layout
+_ISPL = 0                # 1.0 if fitted plane
+_PL0, _PL1 = 1, 9        # plane: normal(3), d, center(3), radius
+_PC0, _PC1 = 9, 21       # plane_cov: cov_nn sym6, cov_qq sym6
+REC_W = 21
 STATS_W = 15
 
 
@@ -97,16 +97,10 @@ def quad6(s, v):
     )
 
 
-def _i2f(x):
-    return jax.lax.bitcast_convert_type(x, jnp.float32)
-
-
-def _f2i(x):
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
-
-
 class VoxelMap(NamedTuple):
-    cells: jnp.ndarray  # (L, C, 25) fused per-voxel record
+    keys: jnp.ndarray  # (L, C, 3) int32, EMPTY-marked free slots
+    cnt: jnp.ndarray  # (L, C) float point counts
+    rec: jnp.ndarray  # (L, C, 21) per-voxel query record
     stats: jnp.ndarray  # (L, C, 15) running moments (insert path only)
 
 
@@ -125,9 +119,12 @@ class VoxelMapConfig(NamedTuple):
 
 def make_map(cfg: VoxelMapConfig) -> VoxelMap:
     L, C = cfg.n_layers, 1 << cfg.capacity_log2
-    cells = jnp.zeros((L, C, CELL_W), jnp.float32)
-    cells = cells.at[:, :, _K0:_K1].set(_i2f(jnp.full((L, C, 3), EMPTY, jnp.int32)))
-    return VoxelMap(cells=cells, stats=jnp.zeros((L, C, STATS_W), jnp.float32))
+    return VoxelMap(
+        keys=jnp.full((L, C, 3), EMPTY, jnp.int32),
+        cnt=jnp.zeros((L, C), jnp.float32),
+        rec=jnp.zeros((L, C, REC_W), jnp.float32),
+        stats=jnp.zeros((L, C, STATS_W), jnp.float32),
+    )
 
 
 def layer_voxel_sizes(cfg: VoxelMapConfig) -> jnp.ndarray:
@@ -148,17 +145,16 @@ def _bucket(keys, capacity):
     return voxel_hash._bucket(keys, capacity)
 
 
-def _lookup_window(cells, keys, probes: int):
+def _lookup_window(keys_tab, keys, probes: int):
     """ONE windowed gather resolving a whole probe chain.
 
-    cells: (C, 25); keys: (N, 3) int32. Returns (rec (N, 25) of the
-    matched slot (zeros if absent), slot (N,), found (N,))."""
-    C = cells.shape[0]
+    keys_tab: (C, 3) int32; keys: (N, 3) int32. Returns (slot (N,),
+    found (N,)); slot is -1 when absent."""
+    C = keys_tab.shape[0]
     h = _bucket(keys, C)
     offs = jnp.arange(probes, dtype=jnp.int32)
     rows = jnp.bitwise_and(h[:, None] + offs[None, :], C - 1)  # (N, P)
-    win = cells[rows]  # (N, P, 25) — the single gather
-    wkeys = _f2i(win[:, :, _K0:_K1])
+    wkeys = keys_tab[rows]  # (N, P, 3) — the single gather
     match = jnp.all(wkeys == keys[:, None, :], axis=-1)  # (N, P)
     empty_before = jnp.cumsum(
         (wkeys[:, :, 0] == EMPTY).astype(jnp.int32), axis=1
@@ -166,31 +162,28 @@ def _lookup_window(cells, keys, probes: int):
     valid_match = match & ~jnp.roll(empty_before, 1, axis=1).at[:, 0].set(False)
     found = jnp.any(valid_match, axis=1)
     j = jnp.argmax(valid_match, axis=1)
-    rec = jnp.take_along_axis(win, j[:, None, None], axis=1)[:, 0, :]
     slot = jnp.where(found, jnp.take_along_axis(rows, j[:, None], axis=1)[:, 0], -1)
-    rec = jnp.where(found[:, None], rec, 0.0)
-    return rec, slot, found
+    return slot, found
 
 
-def _insert(cells, keys, valid, probes: int):
-    """Find-or-claim slots (race-free batched insert; see
-    ops/voxel_hash.lookup_or_insert for the claim protocol). Returns
-    (cells, slot (N,))."""
-    C = cells.shape[0]
+def _insert(keys_tab, keys, valid, probes: int):
+    """Find-or-claim slots (race-free batched insert; claim protocol:
+    scatter-max lane tickets per probe round). All scatters write full
+    rows of the (C, 3) key table. Returns (keys_tab, slot (N,))."""
+    C = keys_tab.shape[0]
     n = keys.shape[0]
     h = _bucket(keys, C)
     lane = jnp.arange(n, dtype=jnp.int32)
     slot_out = jnp.full((n,), -1, jnp.int32)
 
     # Fast path: one windowed lookup resolves existing keys.
-    _, slot0, found0 = _lookup_window(cells, keys, probes)
+    slot0, found0 = _lookup_window(keys_tab, keys, probes)
     slot_out = jnp.where(found0, slot0, slot_out)
     unresolved = valid & ~found0
 
-    keys_f = _i2f(keys)
     for j in range(probes):
         s = jnp.bitwise_and(h + j, C - 1)
-        tk = _f2i(cells[s, _K0:_K1])
+        tk = keys_tab[s]
         found = jnp.all(tk == keys, axis=-1)
         hit = unresolved & found
         slot_out = jnp.where(hit, s, slot_out)
@@ -201,26 +194,26 @@ def _insert(cells, keys, valid, probes: int):
         claims = jnp.full((C,), -1, jnp.int32).at[s_or_oob].max(ticket, mode="drop")
         won = cand & (claims[s] == lane)
         ws = jnp.where(won, s, C)
-        cells = cells.at[ws, _K0:_K1].set(keys_f, mode="drop")
-        refound = cand & jnp.all(_f2i(cells[s, _K0:_K1]) == keys, axis=-1)
+        keys_tab = keys_tab.at[ws].set(keys, mode="drop")
+        refound = cand & jnp.all(keys_tab[s] == keys, axis=-1)
         slot_out = jnp.where(refound, s, slot_out)
         unresolved = unresolved & ~refound
-    return cells, slot_out
+    return keys_tab, slot_out
 
 
-def _update_layer_one(cells, stats, pts_w, var_w6, valid, vsize, init_num,
-                      cfg: VoxelMapConfig):
+def _update_layer_one(keys_tab, cnt, rec, stats, pts_w, var_w6, valid, vsize,
+                      init_num, cfg: VoxelMapConfig):
     """Single-layer insert + refit (vmapped over layers). Mirrors
     UpdateOctoTree/init_plane (voxel_map.cpp:219-290) as scatter-adds +
     one batched closed-form eigendecomposition."""
-    C = cells.shape[0]
+    C = cnt.shape[0]
     keys = jnp.floor(pts_w / vsize).astype(jnp.int32)
-    cells, slots = _insert(cells, keys, valid, cfg.probes)
+    keys_tab, slots = _insert(keys_tab, keys, valid, cfg.probes)
 
     ok = valid & (slots >= 0)
     s = jnp.where(ok, slots, 0)
     # Freeze full voxels (update_enable_ flip, voxel_map.cpp:240-245).
-    frozen = cells[s, _CNT] >= cfg.max_points_num
+    frozen = cnt[s] >= cfg.max_points_num
     ok = ok & ~frozen
     w = jnp.where(ok, slots, C)
 
@@ -229,11 +222,11 @@ def _update_layer_one(cells, stats, pts_w, var_w6, valid, vsize, init_num,
     pp6 = sym6(p_local[:, :, None] * p_local[:, None, :])
     contrib = jnp.concatenate([p_local, pp6, var_w6], axis=-1)  # (N, 15)
 
-    cells = cells.at[w, _CNT].add(1.0, mode="drop")
+    cnt = cnt.at[w].add(1.0, mode="drop")
     stats = stats.at[w].add(contrib, mode="drop")
 
     # ---- refit touched voxels (init_plane, voxel_map.cpp:55-135) ----
-    n = cells[s, _CNT]
+    n = cnt[s]
     n_safe = jnp.maximum(n, 1.0)
     st = stats[s]
     mean_local = st[:, 0:3] / n_safe[:, None]
@@ -268,10 +261,10 @@ def _update_layer_one(cells, stats, pts_w, var_w6, valid, vsize, init_num,
             sym6(cov_nn), C_bar6 / n_safe[:, None],
         ],
         axis=-1,
-    )  # (N, 1+8+12 = 21) -> columns _ISPL..CELL_W
+    )  # (N, 21) — full rec rows
     wf = jnp.where(ok & enough, slots, C)
-    cells = cells.at[wf, _ISPL:CELL_W].set(rec_update, mode="drop")
-    return cells, stats
+    rec = rec.at[wf].set(rec_update, mode="drop")
+    return keys_tab, cnt, rec, stats
 
 
 def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
@@ -299,12 +292,12 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     var_w6 = var_w if var_w.ndim == 2 else sym6(var_w)
     vs = layer_voxel_sizes(cfg)
     inits = layer_init_nums(cfg)
-    cells, stats = jax.vmap(
-        lambda c, st, v, ini: _update_layer_one(
-            c, st, pts_w, var_w6, valid, v, ini, cfg
+    keys, cnt, rec, stats = jax.vmap(
+        lambda k, c, r, st, v, ini: _update_layer_one(
+            k, c, r, st, pts_w, var_w6, valid, v, ini, cfg
         )
-    )(vmap_state.cells, vmap_state.stats, vs, inits)
-    return VoxelMap(cells=cells, stats=stats)
+    )(vmap_state.keys, vmap_state.cnt, vmap_state.rec, vmap_state.stats, vs, inits)
+    return VoxelMap(keys=keys, cnt=cnt, rec=rec, stats=stats)
 
 
 class PlaneMatch(NamedTuple):
@@ -323,7 +316,7 @@ class PlaneMatch(NamedTuple):
 
 
 def _gate(rec, found, pts_w, var_w6, cfg: VoxelMapConfig):
-    """Candidate gating from a fused record (build_single_residual,
+    """Candidate gating from a query record (build_single_residual,
     voxel_map.cpp:713-767). Pure register math — no memory access."""
     is_pl = (rec[:, _ISPL] > 0.5) & found
     n = rec[:, _PL0:_PL0 + 3]
@@ -388,14 +381,17 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
     keys_all = jnp.concatenate([keys_L, (keys_L[0] + shift)[None]], axis=0)
 
     idx = jnp.asarray(list(range(cfg.n_layers)) + [0])
-    cells_all = vmap_state.cells[idx]  # (L+1, C, 25)
+    keys_tabs = vmap_state.keys[idx]  # (L+1, C, 3)
+    recs = vmap_state.rec[idx]  # (L+1, C, 21)
 
-    def one(cells_l, keys):
-        rec, _, found = _lookup_window(cells_l, keys, cfg.probes)
+    def one(keys_tab, rec_tab, keys):
+        slot, found = _lookup_window(keys_tab, keys, cfg.probes)
+        rec = rec_tab[jnp.where(found, slot, 0)]
+        rec = jnp.where(found[:, None], rec, 0.0)
         is_pl, ok, prob, fields = _gate(rec, found, pts_w, var_w6, cfg)
         return found, is_pl, ok, prob, fields
 
-    exists, is_pl, ok, prob, fields = jax.vmap(one)(cells_all, keys_all)
+    exists, is_pl, ok, prob, fields = jax.vmap(one)(keys_tabs, recs, keys_all)
 
     # Chain masks (octree descent semantics) — tiny (L, N) logic.
     ancestor_open = jnp.ones(n_pts, bool)
@@ -438,8 +434,10 @@ def query_plane(vmap_state: VoxelMap, pts_w: jnp.ndarray, cfg: VoxelMapConfig):
     vsizes = layer_voxel_sizes(cfg)
     keys_L = jnp.floor(pts_w[None, :, :] / vsizes[:, None, None]).astype(jnp.int32)
 
-    def one(cells_l, keys):
-        rec, _, found = _lookup_window(cells_l, keys, cfg.probes)
+    def one(keys_tab, rec_tab, keys):
+        slot, found = _lookup_window(keys_tab, keys, cfg.probes)
+        rec = rec_tab[jnp.where(found, slot, 0)]
+        rec = jnp.where(found[:, None], rec, 0.0)
         is_pl = (rec[:, _ISPL] > 0.5) & found
         a = pts_w - rec[:, _PL0 + 4:_PL0 + 7]
         n = rec[:, _PL0:_PL0 + 3]
@@ -448,7 +446,7 @@ def query_plane(vmap_state: VoxelMap, pts_w: jnp.ndarray, cfg: VoxelMapConfig):
         )
         return found, is_pl, rec[:, _PL0:_PL1], sigma
 
-    exists, is_pl, pl, sigma = jax.vmap(one)(vmap_state.cells, keys_L)
+    exists, is_pl, pl, sigma = jax.vmap(one)(vmap_state.keys, vmap_state.rec, keys_L)
     found = jnp.zeros(n_pts, bool)
     out_plane = jnp.zeros((n_pts, 8))
     out_sigma = jnp.zeros(n_pts)
@@ -465,11 +463,11 @@ def query_plane(vmap_state: VoxelMap, pts_w: jnp.ndarray, cfg: VoxelMapConfig):
 
 def map_keys(vmap_state: VoxelMap, layer: int) -> jnp.ndarray:
     """(C, 3) int32 keys of one layer (EMPTY-marked), for tests/tools."""
-    return _f2i(vmap_state.cells[layer, :, _K0:_K1])
+    return vmap_state.keys[layer]
 
 
 def map_count(vmap_state: VoxelMap, layer: int) -> jnp.ndarray:
-    return vmap_state.cells[layer, :, _CNT].astype(jnp.int32)
+    return vmap_state.cnt[layer].astype(jnp.int32)
 
 
 def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
@@ -485,23 +483,23 @@ def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
     halves = jnp.asarray(
         [half_map_size * (1 << l) for l in range(cfg.n_layers)], jnp.int32
     )
-    C = vmap_state.cells.shape[1]
-    empty_cells = jnp.zeros((C, CELL_W), jnp.float32).at[:, _K0:_K1].set(
-        _i2f(jnp.full((C, 3), EMPTY, jnp.int32))
-    )
+    C = vmap_state.cnt.shape[1]
 
-    def one(cells, stats, vsize, half):
-        keys = _f2i(cells[:, _K0:_K1])
+    def one(keys_tab, cnt, rec, stats, vsize, half):
         ctr = jnp.floor(center_pos / vsize).astype(jnp.int32)
-        occupied = keys[:, 0] != EMPTY
-        keep = occupied & jnp.all(jnp.abs(keys - ctr) <= half, axis=-1)
-        fresh, new_slots = _insert(empty_cells, keys, keep, cfg.probes)
+        occupied = keys_tab[:, 0] != EMPTY
+        keep = occupied & jnp.all(jnp.abs(keys_tab - ctr) <= half, axis=-1)
+        fresh = jnp.full((C, 3), EMPTY, jnp.int32)
+        fresh, new_slots = _insert(fresh, keys_tab, keep, cfg.probes)
         dst = jnp.where(keep & (new_slots >= 0), new_slots, C)
-        # move full rows (keys were already written by _insert; overwrite
-        # with the complete record to carry plane/count data too)
-        fresh = fresh.at[dst].set(cells, mode="drop")
-        new_stats = jnp.zeros_like(stats).at[dst].set(stats, mode="drop")
-        return fresh, new_stats
 
-    cells, stats = jax.vmap(one)(vmap_state.cells, vmap_state.stats, vsizes, halves)
-    return VoxelMap(cells=cells, stats=stats)
+        def move(arr):
+            return jnp.zeros_like(arr).at[dst].set(arr, mode="drop")
+
+        return fresh, move(cnt), move(rec), move(stats)
+
+    keys, cnt, rec, stats = jax.vmap(one)(
+        vmap_state.keys, vmap_state.cnt, vmap_state.rec, vmap_state.stats,
+        vsizes, halves,
+    )
+    return VoxelMap(keys=keys, cnt=cnt, rec=rec, stats=stats)
