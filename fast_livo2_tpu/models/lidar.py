@@ -7,9 +7,9 @@ type and returns (points (N, 3) float32 body-frame, t_offs (N,) float32
 seconds from scan begin), after the same filtering the reference applies:
 1-in-N point decimation (`point_filter_num`), blind-radius rejection, NaN
 rejection, and monotonic-time repair for wrap-around
-(preprocess.cpp:95-744). The LOAM-style plane/edge feature-extraction
-path (give_feature, :746-980) is default-off in every bundled config and
-is not implemented.
+(preprocess.cpp:95-744). The LOAM-style planar feature-extraction path
+(give_feature, :746-980; default-off in every bundled config) is
+provided by `extract_surf_features` below.
 
 LID_TYPE numbering follows common_lib.h:38-47.
 """
@@ -125,3 +125,56 @@ _DECODERS = {
 def decode(lidar_type: int, fields: Dict[str, np.ndarray], **kw):
     """Dispatch on LID_TYPE (Preprocess::process, preprocess.cpp:54-93)."""
     return _DECODERS[lidar_type](fields, **kw)
+
+
+def extract_surf_features(pts: np.ndarray, offs: np.ndarray,
+                          ring: np.ndarray = None, group_size: int = 8,
+                          disA: float = 0.01, disB: float = 0.1,
+                          p2l_ratio: float = 225.0,
+                          blind: float = 0.8):
+    """LOAM-style planar-feature selection, vectorized (the reference's
+    optional feature path: give_feature/plane_judge,
+    preprocess.cpp:746-1097; `feature_extract_enabled`, default off in
+    every shipped config).
+
+    For each point, fit the chord over its `group_size` forward neighbors
+    along the scan line and accept the group as planar when the maximum
+    point-to-chord distance is small relative to the chord length
+    (the reference's two-point distance / point-to-line ratio test with
+    range-adaptive threshold disA*range + disB). Edge/jump classification
+    is omitted — the reference only feeds *surf* points to the LIO filter.
+
+    Returns a boolean keep-mask over pts.
+    """
+    n = len(pts)
+    if n < group_size + 2:
+        return np.ones(n, bool)
+    if ring is None:
+        ring = np.zeros(n, np.int32)
+    keep = np.zeros(n, bool)
+    order = np.lexsort((offs, ring))
+    p = pts[order]
+    r = ring[order]
+    # forward chord over the group
+    g = group_size
+    head = p[: n - g]
+    tail = p[g:]
+    chord = tail - head
+    chord_len2 = (chord * chord).sum(-1) + 1e-12
+    # max point-to-chord distance within the group
+    maxd2 = np.zeros(n - g)
+    for j in range(1, g):
+        q = p[j : n - g + j] - head
+        cross = np.cross(q, chord)
+        d2 = (cross * cross).sum(-1) / chord_len2
+        maxd2 = np.maximum(maxd2, d2)
+    rng2 = (head * head).sum(-1)
+    same_ring = r[: n - g] == r[g:]
+    thr = (disA * np.sqrt(rng2) + disB) ** 2
+    planar = (maxd2 * p2l_ratio < chord_len2) & (maxd2 < thr) & same_ring
+    km = np.zeros(n, bool)
+    for j in range(g):
+        km[j : n - g + j][planar] = True
+    keep[order] = km
+    keep &= (pts * pts).sum(-1) > blind * blind
+    return keep

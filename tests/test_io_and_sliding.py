@@ -115,3 +115,21 @@ def test_map_sliding_preserves_in_box_evicts_outside():
     assert (slots_f < 0).all()
     # surviving slots keep their stats (counts preserved)
     assert int(jnp.sum(vm.map_count(m2, 0))) > 0
+
+
+def test_surf_feature_extraction():
+    from fast_livo2_tpu.models.lidar import extract_surf_features
+
+    rng = np.random.default_rng(0)
+    n = 400
+    az = np.linspace(-0.5, 0.5, n)
+    # planar segment: wall at x=5 -> smooth range profile
+    wall = np.stack([np.full(n, 5.0), 5.0 * np.tan(az), np.zeros(n)], -1)
+    # jagged segment: alternating near/far returns (vegetation-like)
+    jag = wall.copy()
+    jag[::2] *= 0.5 + 0.3 * rng.random(n // 2)[:, None]
+    offs = np.arange(n) / n * 0.1
+    k_wall = extract_surf_features(wall.astype(np.float32), offs)
+    k_jag = extract_surf_features(jag.astype(np.float32), offs)
+    assert k_wall.mean() > 0.9
+    assert k_jag.mean() < 0.3
