@@ -41,7 +41,7 @@ from . import imu as imu_mod
 from . import lio as lio_mod
 from . import vio as vio_mod
 from . import voxel_map as vmap_mod
-from .state import NavState, init_cov, init_state
+from .state import NavState, init_cov, init_state, pack_state, unpack_state
 
 
 def _pad_points(pts: np.ndarray, offs: np.ndarray, n: int):
@@ -120,9 +120,8 @@ class LIVOPipeline:
             vio_mod.make_ray_table(self.cam, self.vio_cfg)
             if cfg.vio.raycast_en else None
         )
-        # device state
-        self.state: NavState = init_state()
-        self.cov = init_cov()
+        # device state: state+cov live packed in one vector between frames
+        self.packed = pack_state(init_state(), init_cov())
         self.vmap_state = vmap_mod.make_map(self.map_cfg)
         self.pool = vio_mod.make_pool(self.vio_cfg)
         self.ring = vio_mod.make_ring(self.vio_cfg, self.cam)
@@ -142,12 +141,15 @@ class LIVOPipeline:
         self.trace_post: List = []
         self.state_trace_en = cfg.evo.pose_output_en
 
-        # Donate only the big map/pool/ring buffers; state and cov are tiny
-        # and their trajectory snapshots must outlive the next frame.
-        self._lio_jit = jax.jit(
-            self._lio_step, static_argnames=("first",), donate_argnums=(2,),
+        # ONE fused jit call per frame over packed few-leaf interfaces:
+        # chained-call dispatch cost on remote TPU links scales with pytree
+        # leaf count (~1 ms/leaf), so the whole frame (propagate →
+        # undistort → downsample → LIO ESIKF → map update → VIO) runs as a
+        # single call of ~15 fat arrays. Map/pool/ring are donated.
+        self._frame_jit = jax.jit(
+            self._frame_step, static_argnames=("first", "use_vio"),
+            donate_argnums=(1, 2, 3),
         )
-        self._vio_jit = jax.jit(self._vio_step, donate_argnums=(2, 3))
         self._colorize_jit = jax.jit(
             lambda img, pts, valid, state: vio_mod.colorize_points(
                 img, pts, valid, state, self.cam, self.Rci, self.Pci,
@@ -166,21 +168,41 @@ class LIVOPipeline:
         )
         self._last_slide_pos = np.zeros(3)
 
+    @property
+    def state(self) -> NavState:
+        return unpack_state(self.packed)[0]
+
+    @property
+    def cov(self):
+        return unpack_state(self.packed)[1]
+
     # ---------- jitted step bodies ----------
 
-    def _lio_step(self, state, cov, vmap_state, imu_batch, pts, t_offs, valid,
-                  first: bool):
+    def _frame_step(self, packed_sc, vmap_state, pool, ring, imu_pack,
+                    pts_pack, img, frame_id, first: bool, use_vio: bool):
+        """The whole frame as one device program. imu_pack: (K, 9) packed
+        IMU intervals (or scalar dt in only_lo mode); pts_pack: (N, 5)
+        packed [xyz | t_offs | valid]. Returns (packed_sc, map, pool,
+        ring, diag (6,))."""
         cfg = self.cfg
+        state, cov = unpack_state(packed_sc)
+        pts = pts_pack[:, 0:3]
+        t_offs = pts_pack[:, 3]
+        valid = pts_pack[:, 4] > 0.5
+
         if self.slam_mode == "only_lo":
-            # IMU-less: constant-velocity model (Forward_without_imu).
-            dt = imu_batch  # scalar packet duration in this mode
+            dt = imu_pack  # scalar packet duration in this mode
             state_prop, cov_prop = imu_mod.propagate_without_imu(
                 state, cov, dt, self.noise
             )
             und = imu_mod.undistort_without_imu(pts, t_offs, dt, state_prop)
         else:
+            batch = imu_mod.ImuBatch(
+                gyr=imu_pack[:, 0:3], acc=imu_pack[:, 3:6], dt=imu_pack[:, 6],
+                offs_end=imu_pack[:, 7], valid=imu_pack[:, 8],
+            )
             state_prop, cov_prop, poses = imu_mod.propagate(
-                state, cov, imu_batch, self.noise
+                state, cov, batch, self.noise
             )
             und = imu_mod.undistort(pts, t_offs, poses, state_prop,
                                     self.ext_R, self.ext_T)
@@ -199,11 +221,11 @@ class LIVOPipeline:
                 + crossmat @ cov_prop[0:3, 0:3] @ jnp.swapaxes(crossmat, -1, -2)
                 + cov_prop[3:6, 3:6]
             )
-            vmap_state = vmap_mod.update_map(vmap_state, pts_w, var_w, down_valid, self.map_cfg)
-            zeros3 = jnp.zeros_like(pts_w)
-            diag = (jnp.asarray(0, jnp.int32), jnp.asarray(0.0))
-            return (state_prop, cov_prop, vmap_state, pts_w, zeros3, var_w,
-                    down_valid, diag)
+            vmap_state = vmap_mod.update_map(vmap_state, pts_w, var_w,
+                                             down_valid, self.map_cfg)
+            diag = jnp.zeros((6,), jnp.float32)
+            return (pack_state(state_prop, cov_prop), vmap_state, pool, ring,
+                    diag)
 
         res = lio_mod.lio_update(
             state_prop, cov_prop, vmap_state, down, down_valid,
@@ -214,18 +236,26 @@ class LIVOPipeline:
         vmap_state = vmap_mod.update_map(
             vmap_state, res.pts_w, res.var_w, down_valid, self.map_cfg
         )
-        normal = jnp.where(res.match.valid[:, None], res.match.normal, 0.0)
-        diag = (res.n_effective, res.mean_residual)
-        return (res.state, res.cov, vmap_state, res.pts_w, normal, res.var_w,
-                down_valid, diag)
-
-    def _vio_step(self, state, cov, pool, ring, vmap_state, img, pg_w,
-                  pg_normal, pg_var, pg_valid, frame_id):
-        return vio_mod.vio_step(
-            state, cov, pool, ring, vmap_state, img, pg_w, pg_normal, pg_var,
-            pg_valid, frame_id, self.cam, self.Rci, self.Pci, self.vio_cfg,
-            self.map_cfg, ray_table=self._ray_table,
-        )
+        state, cov = res.state, res.cov
+        n_tracked = jnp.asarray(0, jnp.int32)
+        n_added = jnp.asarray(0, jnp.int32)
+        verr = jnp.asarray(0.0)
+        if use_vio:
+            normal = jnp.where(res.match.valid[:, None], res.match.normal, 0.0)
+            vres = vio_mod.vio_step(
+                state, cov, pool, ring, vmap_state, img, res.pts_w, normal,
+                res.var_w, down_valid, frame_id, self.cam, self.Rci, self.Pci,
+                self.vio_cfg, self.map_cfg, ray_table=self._ray_table,
+            )
+            state, cov = vres.state, vres.cov
+            pool, ring = vres.pool, vres.ring
+            n_tracked, n_added, verr = vres.n_tracked, vres.n_added, vres.mean_error
+        diag = jnp.stack([
+            res.n_effective.astype(jnp.float32), res.mean_residual,
+            n_tracked.astype(jnp.float32), n_added.astype(jnp.float32),
+            verr, jnp.asarray(0.0),
+        ])
+        return pack_state(state, cov), vmap_state, pool, ring, diag
 
     # ---------- host orchestration ----------
 
@@ -247,12 +277,15 @@ class LIVOPipeline:
                 R0 = np.asarray(so3.exp(jnp.asarray(axis * ang, jnp.float32)))
             else:
                 R0 = np.eye(3, dtype=np.float32)
-            self.state = self.state._replace(
-                rot=jnp.asarray(R0, jnp.float32),
-                grav=jnp.asarray([0.0, 0.0, -9.81], jnp.float32),
+            st, cv = unpack_state(self.packed)
+            self.packed = pack_state(
+                st._replace(rot=jnp.asarray(R0, jnp.float32),
+                            grav=jnp.asarray([0.0, 0.0, -9.81], jnp.float32)),
+                cv,
             )
         else:
-            self.state = self.state._replace(grav=jnp.asarray(grav))
+            st, cv = unpack_state(self.packed)
+            self.packed = pack_state(st._replace(grav=jnp.asarray(grav)), cv)
         self.noise = imu_mod.make_noise(
             acc_cov=self.cfg.imu.acc_cov, gyr_cov=self.cfg.imu.gyr_cov,
             b_acc_cov=self.cfg.imu.b_acc_cov, b_gyr_cov=self.cfg.imu.b_gyr_cov,
@@ -271,17 +304,21 @@ class LIVOPipeline:
         i1 = min(i1, len(s))
         return s[i0:i1], seq.imu_gyr[i0:i1], seq.imu_acc[i0:i1]
 
-    def _run_lio_packet(self, t_end: float, seq, first: bool):
+    def _prepare_packet(self, t_end: float, seq):
+        """Host-side ragged->fixed batching of one frame's inputs."""
         cfg = self.cfg.tpu
         t0 = self.last_update_time
         if self.slam_mode == "only_lo":
-            batch = jnp.asarray(np.float32(t_end - t0))
+            imu_pack = jnp.asarray(np.float32(t_end - t0))
         else:
             st, gy, ac = self._imu_slice(t0, t_end, seq)
-            batch = imu_mod.prepare_imu_batch(st, gy, ac, t0, t_end,
-                                              cfg.max_imu_per_packet)
+            b = imu_mod.prepare_imu_batch(st, gy, ac, t0, t_end,
+                                          cfg.max_imu_per_packet)
+            imu_pack = jnp.concatenate(
+                [b.gyr, b.acc, b.dt[:, None], b.offs_end[:, None],
+                 b.valid[:, None]], axis=-1,
+            )
 
-        # collect pending points with absolute time <= t_end
         take_p, take_t, rest = [], [], []
         for pts, t_abs in self.pending:
             m = t_abs <= t_end
@@ -291,20 +328,17 @@ class LIVOPipeline:
             if (~m).any():
                 rest.append((pts[~m], t_abs[~m]))
         self.pending = rest
+        n = cfg.max_points_per_scan
+        pack = np.zeros((n, 5), np.float32)
         if take_p:
             pts = np.concatenate(take_p)
             offs = np.concatenate(take_t) - t0
-        else:
-            pts = np.zeros((0, 3), np.float32)
-            offs = np.zeros((0,), np.float32)
-        p, o, v = _pad_points(pts, offs, cfg.max_points_per_scan)
-
-        out = self._lio_jit(self.state, self.cov, self.vmap_state, batch, p, o, v,
-                            first=first)
-        (self.state, self.cov, self.vmap_state, pg_w, pg_normal, pg_var,
-         pg_valid, diag) = out
+            k = min(len(pts), n)
+            pack[:k, 0:3] = pts[:k]
+            pack[:k, 3] = offs[:k]
+            pack[:k, 4] = 1.0
         self.last_update_time = t_end
-        return pg_w, pg_normal, pg_var, pg_valid, diag
+        return imu_pack, jnp.asarray(pack)
 
     def process(self, seq, max_frames: Optional[int] = None,
                 progress: bool = False):
@@ -321,8 +355,10 @@ class LIVOPipeline:
         else:
             events = [(t + offs[-1] if len(offs) else t, None)
                       for t, pts, offs in seq.scans]
+        dummy_img = jnp.zeros(
+            (self.cam.height, self.cam.width), jnp.float32
+        ) if use_images else jnp.zeros((1, 1), jnp.float32)
         n_done = 0
-        pg_cache = None
         for t_ev, img in events:
             if max_frames is not None and n_done >= max_frames:
                 break
@@ -347,104 +383,78 @@ class LIVOPipeline:
 
             t_frame0 = time.perf_counter()
             if self.state_trace_en:
-                self.trace_pre.append((t_ev, self.state))
-            pg = self._run_lio_packet(t_ev, seq, first=not self.map_inited)
+                self.trace_pre.append((t_ev, self.packed))
             first = not self.map_inited
+            imu_pack, pts_pack = self._prepare_packet(t_ev, seq)
+            use_vio = use_images and img is not None and not first
+            img_dev = jnp.asarray(img) if use_vio else dummy_img
+            (self.packed, self.vmap_state, self.pool, self.ring,
+             diag) = self._frame_jit(
+                self.packed, self.vmap_state, self.pool, self.ring, imu_pack,
+                pts_pack, img_dev, jnp.asarray(self.frame_id, jnp.int32),
+                first=first, use_vio=use_vio,
+            )
             self.map_inited = True
+            if use_vio and self.pcd_accumulate:
+                st, _ = unpack_state(self.packed)
+                # colorize the raw packet points with the posterior pose
+                colors, vis = self._colorize_jit(
+                    img_dev, pts_pack[:, 0:3], pts_pack[:, 4] > 0.5, st
+                )
+                self._cloud_chunks.append((pts_pack[:, 0:3], colors, vis))
             # Sliding check costs one d2h (latency-bound on remote links):
-            # sample it every 10 frames — movement past sliding_thresh
-            # takes many frames anyway.
+            # sample every 10 frames — movement past sliding_thresh takes
+            # many frames anyway.
             if self.cfg.local_map.map_sliding_en and self.frame_id % 10 == 0:
-                pos = np.asarray(self.state.pos)
+                pos = np.asarray(self.packed[9:12])
                 if np.linalg.norm(pos - self._last_slide_pos) > self.cfg.local_map.sliding_thresh:
                     self._last_slide_pos = pos
-                    self.vmap_state = self._slide_jit(self.vmap_state, self.state.pos)
-            t_lio = time.perf_counter()
-
-            n_trk = 0
-            if use_images and img is not None and not first:
-                pg_w, pg_normal, pg_var, pg_valid, diag = pg
-                res = self._vio_jit(
-                    self.state, self.cov, self.pool, self.ring, self.vmap_state,
-                    jnp.asarray(img), pg_w, pg_normal, pg_var, pg_valid,
-                    jnp.asarray(self.frame_id, jnp.int32),
-                )
-                self.state, self.cov = res.state, res.cov
-                self.pool, self.ring = res.pool, res.ring
-                n_trk = res.n_tracked  # device scalar; converted at end
-                if self.pcd_accumulate:
-                    colors, vis = self._colorize_jit(
-                        jnp.asarray(img), pg_w, pg_valid, self.state
+                    self.vmap_state = self._slide_jit(
+                        self.vmap_state, jnp.asarray(pos)
                     )
-                    self._cloud_chunks.append((pg_w, colors, vis))
-            t_vio = time.perf_counter()
-
             if self.state_trace_en:
-                self.trace_post.append((t_ev, self.state))
+                self.trace_post.append((t_ev, self.packed))
             self.frame_id += 1
             n_done += 1
             # Keep device arrays; converting here would force a blocking
             # device sync per frame (costly over a remote TPU link).
-            self.trajectory.append((t_ev, self.state.rot, self.state.pos))
+            self.trajectory.append((t_ev, self.packed))
             self.log.add(
                 t=t_ev, t_wall=time.perf_counter(),
-                lio_s=t_lio - t_frame0, vio_s=t_vio - t_lio,
-                n_eff=pg[4][0] if not first else 0,
-                n_tracked=n_trk,
+                lio_s=time.perf_counter() - t_frame0, vio_s=0.0,
+                diag=diag,
             )
             if progress and n_done % 10 == 0:
                 print(f"[livo] frame {n_done} t={t_ev:.2f} "
-                      f"pos={np.asarray(self.state.pos).round(3)}")
-        # Batch ALL device->host conversions into one packed transfer: on a
-        # remote TPU link d2h is latency-bound (~100 ms per transfer of any
-        # size), so per-frame conversions would dwarf the compute.
-        new_idx = [i for i, (t, R, p) in enumerate(self.trajectory)
-                   if not isinstance(R, np.ndarray)]
-        if new_idx:
-            f32 = jnp.float32
-            Rs = jnp.stack([self.trajectory[i][1].reshape(9) for i in new_idx])
-            ps = jnp.stack([self.trajectory[i][2] for i in new_idx])
-            scal_rows = [r for r in self.log.rows
-                         if not isinstance(r.get("n_eff", 0), int)]
-            scal = (
-                jnp.stack([
-                    jnp.stack([jnp.asarray(r["n_eff"], f32),
-                               jnp.asarray(r["n_tracked"], f32)])
-                    for r in scal_rows
-                ]) if scal_rows else jnp.zeros((0, 2), f32)
-            )
-            packed = np.asarray(
-                jnp.concatenate([Rs, ps], axis=1)
-            )  # single d2h for poses
-            scal_np = np.asarray(scal) if scal_rows else None
-            for j, i in enumerate(new_idx):
-                t = self.trajectory[i][0]
-                self.trajectory[i] = (
-                    t, packed[j, :9].reshape(3, 3), packed[j, 9:12]
-                )
-            for j, r in enumerate(scal_rows):
-                r["n_eff"] = int(scal_np[j, 0])
-                r["n_tracked"] = int(scal_np[j, 1])
+                      f"pos={np.asarray(self.packed[9:12]).round(3)}")
+        self._finalize_host_views()
         return self.trajectory
 
-    def save_pcd(self, path: str):
-        """Write the accumulated colored world cloud (savePCD,
-        LIVMapper.cpp:484-532), voxel-downsampled by filter_size_pcd
-        (first-point-per-voxel for the colors)."""
-        from ..io import export as export_mod
-
-        if not self._cloud_chunks:
-            raise ValueError("no accumulated cloud (set pcd_save.pcd_save_en)")
-        pts = np.concatenate([np.asarray(p)[np.asarray(v)] for p, c, v in self._cloud_chunks])
-        cols = np.concatenate([np.asarray(c)[np.asarray(v)] for p, c, v in self._cloud_chunks])
-        leaf = self.cfg.pcd_save.filter_size_pcd
-        keys = np.floor(pts / leaf).astype(np.int64)
-        _, idx = np.unique(keys, axis=0, return_index=True)
-        pts, cols = pts[idx], cols[idx]
-        if cols.shape[1] == 1:
-            cols = np.repeat(cols, 3, axis=1)
-        export_mod.write_pcd(path, pts, colors=np.clip(cols, 0, 255).astype(np.uint32))
-        return len(pts)
+    def _finalize_host_views(self):
+        """Batch ALL device->host conversions into one packed transfer: on
+        a remote TPU link d2h is latency-bound (~100 ms per transfer of
+        any size), so per-frame conversions would dwarf the compute."""
+        new_idx = [i for i, row in enumerate(self.trajectory)
+                   if len(row) == 2]
+        if not new_idx:
+            return
+        stacked = jnp.stack([self.trajectory[i][1][0:12] for i in new_idx])
+        diag_rows = [r for r in self.log.rows if "diag" in r]
+        diags = (jnp.stack([r["diag"] for r in diag_rows])
+                 if diag_rows else None)
+        host = np.asarray(stacked)  # single d2h for poses
+        host_diag = np.asarray(diags) if diags is not None else None
+        for j, i in enumerate(new_idx):
+            t = self.trajectory[i][0]
+            self.trajectory[i] = (
+                t, host[j, 0:9].reshape(3, 3), host[j, 9:12]
+            )
+        for j, r in enumerate(diag_rows):
+            d = host_diag[j]
+            r.pop("diag")
+            r.update(n_eff=int(d[0]), mean_res=float(d[1]),
+                     n_tracked=int(d[2]), n_added=int(d[3]),
+                     vio_err=float(d[4]))
 
     def save_state_traces(self, pre_path: str, post_path: str):
         """Write pre/post-update state rows (t, euler deg, pos, vel, bg,
@@ -455,15 +465,18 @@ class LIVOPipeline:
         for path, trace in ((pre_path, self.trace_pre), (post_path, self.trace_post)):
             if not trace:
                 continue
-            packed = jnp.stack([
-                jnp.concatenate([
-                    so3_mod.euler_zyx(s.rot) * 57.3, s.pos, s.vel, s.bias_g,
-                    s.bias_a, s.inv_expo[None],
-                ]) for _, s in trace
-            ])
-            rows = np.asarray(packed)
+            rows = np.asarray(jnp.stack([v[0:25] for _, v in trace]))
             ts = np.array([t for t, _ in trace])
-            np.savetxt(path, np.column_stack([ts, rows]), fmt="%.6f")
+            out = np.zeros((len(rows), 16))
+            for i, r in enumerate(rows):
+                R = r[0:9].reshape(3, 3)
+                out[i, 0:3] = np.asarray(so3_mod.euler_zyx(jnp.asarray(R))) * 57.3
+                out[i, 3:6] = r[9:12]    # pos
+                out[i, 6:9] = r[12:15]   # vel
+                out[i, 9:12] = r[15:18]  # bias_g
+                out[i, 12:15] = r[18:21] # bias_a
+                out[i, 15] = r[24]       # inv exposure
+            np.savetxt(path, np.column_stack([ts, out]), fmt="%.6f")
 
     def export_colmap(self, out_dir: str):
         """COLMAP sparse-model text export of the camera trajectory and
@@ -476,6 +489,6 @@ class LIVOPipeline:
             Rcw = np.asarray(self.Rci) @ R.T
             t_cw = -Rcw @ p + np.asarray(self.Pci)
             frames.append((i + 1, Rcw, t_cw, f"{i + 1:05d}.png"))
-        pool_valid = np.asarray(self.pool.valid)
-        pts3d = np.asarray(self.pool.pos)[pool_valid]
+        pool_valid = np.asarray(vio_mod.pool_point_valid(self.pool))
+        pts3d = np.asarray(vio_mod.pool_pos(self.pool))[pool_valid]
         export_mod.write_colmap(out_dir, self.cam, frames, points3d=pts3d)

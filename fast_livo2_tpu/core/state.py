@@ -88,3 +88,25 @@ def boxminus(a: NavState, b: NavState) -> jnp.ndarray:
             a.grav - b.grav,
         ]
     )
+
+
+def pack_state(s: NavState, cov: jnp.ndarray) -> jnp.ndarray:
+    """Flatten state+covariance into ONE vector for jit boundaries.
+
+    On remote-TPU links, dispatch cost of a chained jit call scales with
+    the number of pytree leaves (~1 ms each), so per-frame step functions
+    take/return this packed form and unpack inside."""
+    return jnp.concatenate([
+        s.rot.reshape(9), s.pos, s.vel, s.bias_g, s.bias_a, s.grav,
+        s.inv_expo[None] if s.inv_expo.ndim == 0 else s.inv_expo,
+        cov.reshape(DIM_STATE * DIM_STATE),
+    ])
+
+
+def unpack_state(v: jnp.ndarray):
+    s = NavState(
+        rot=v[0:9].reshape(3, 3), pos=v[9:12], vel=v[12:15],
+        bias_g=v[15:18], bias_a=v[18:21], grav=v[21:24], inv_expo=v[24],
+    )
+    cov = v[25:25 + DIM_STATE * DIM_STATE].reshape(DIM_STATE, DIM_STATE)
+    return s, cov

@@ -10,6 +10,11 @@ TPU-native re-design of VIOManager (reference src/vio.cpp, include/vio.h):
   observations sourced from the evicted frame (the reference instead keeps
   every reference image alive via cv::Mat refcounts — the ring bounds
   memory; K and F are config).
+- Pool storage is PACKED into three arrays (`point (P, 19)`,
+  `obs (P, K, 20)`, `obs_patch (P, K, ps²)`): on remote-TPU links the
+  dispatch cost of a chained jit call scales with pytree leaf count
+  (~1 ms/leaf), so per-frame state must be few fat arrays. Every scatter
+  writes full trailing rows (column-slice scatters copy their operand).
 - Per-frame visible-point retrieval (retrieveFromVisualSparseMap,
   vio.cpp:352-782) becomes: project *all* pool points, pick the nearest
   per image grid cell by scatter-min, depth-continuity-check against a
@@ -18,17 +23,18 @@ TPU-native re-design of VIOManager (reference src/vio.cpp, include/vio.h):
   fixed grid-cell count. Projection-based retrieval subsumes the
   reference's scan-voxel iteration + FOV checks.
 - The coarse-to-fine iterated photometric ESIKF (updateState,
-  vio.cpp:1520-1688) runs per pyramid level with the error-rollback rule
-  as masked updates; each iteration is one batched
-  sample-gradients/Jacobian-chain/7x7-normal-equation pass.
+  vio.cpp:1520-1688) runs per pyramid level as a lax.while_loop with the
+  reference's error-rollback/convergence exits; each iteration is one
+  fused superpatch sample + Jacobian chain + 7x7 normal-equation pass.
 - Map maintenance (generateVisualMapPoints :804-906, updateVisualMapPoints
   :908-967, updateReferencePatch :969-1100) becomes grid-scatter argmax
   for new points, masked observation appends with min-score eviction, and
   batched NCC re-scoring + normal refinement from the LIO plane map.
+- Raycast recovery for LiDAR-blind cells (vio.cpp:80-126, :487-591) in
+  raycast_recover below.
 
-Not implemented yet (config-gated off in all bundled configs): the
-inverse-compositional variant (:1327-1518). The raycast recovery module
-(vio.cpp:80-126, :487-591) is implemented in raycast_recover below.
+Not implemented (config-gated off in all bundled configs): the
+inverse-compositional variant (:1327-1518).
 """
 
 from typing import NamedTuple
@@ -41,7 +47,30 @@ from ..ops import image as img_ops
 from ..ops import so3
 from ..ops.precision import hi_precision
 from .state import DIM_STATE, NavState, boxminus, boxplus
-from .voxel_map import VoxelMap, VoxelMapConfig, query_plane
+from .voxel_map import VoxelMap, VoxelMapConfig, query_plane, sym6
+
+# point row layout (P, 19)
+_P_POS = slice(0, 3)
+_P_NRM = slice(3, 6)
+_P_PRV = slice(6, 9)
+_P_COV = slice(9, 15)  # sym6 world covariance at creation
+_P_VALID = 15
+_P_CONV = 16
+_P_HASREF = 17
+_P_REF = 18
+POINT_W = 19
+
+# obs row layout (P, K, 20)
+_O_VALID = 0
+_O_PX = slice(1, 3)
+_O_R = slice(3, 12)  # row-major camera-from-world rotation
+_O_T = slice(12, 15)
+_O_EXPO = 15
+_O_SLOT = 16
+_O_FID = 17
+_O_MEAN = 18
+_O_SCORE = 19
+OBS_W = 20
 
 
 class VIOConfig(NamedTuple):
@@ -92,25 +121,10 @@ def border_px(cfg: VIOConfig) -> int:
 
 
 class VisualPool(NamedTuple):
-    pos: jnp.ndarray  # (P, 3) world
-    normal: jnp.ndarray  # (P, 3)
-    prev_normal: jnp.ndarray  # (P, 3)
-    cov: jnp.ndarray  # (P, 3, 3) world covariance at creation
-    valid: jnp.ndarray  # (P,) bool
-    converged: jnp.ndarray  # (P,) bool
-    has_ref: jnp.ndarray  # (P,) bool
-    ref_slot: jnp.ndarray  # (P,) int32
-    alloc: jnp.ndarray  # () int32 next allocation cursor (wraps)
-    obs_valid: jnp.ndarray  # (P, K) bool
-    obs_px: jnp.ndarray  # (P, K, 2)
-    obs_R: jnp.ndarray  # (P, K, 3, 3) camera-from-world at capture
-    obs_t: jnp.ndarray  # (P, K, 3)
-    obs_expo: jnp.ndarray  # (P, K) inverse exposure at capture
-    obs_frame_slot: jnp.ndarray  # (P, K) int32 ring slot
-    obs_frame_id: jnp.ndarray  # (P, K) int32 global frame id
-    obs_patch: jnp.ndarray  # (P, K, patch²) level-0 patch at capture
-    obs_mean: jnp.ndarray  # (P, K) patch mean
-    obs_score: jnp.ndarray  # (P, K) reference score (NCC + view angle)
+    point: jnp.ndarray  # (P, 19) packed point rows
+    obs: jnp.ndarray  # (P, K, 20) packed observation rows
+    obs_patch: jnp.ndarray  # (P, K, ps²) level-0 patch at capture
+    alloc: jnp.ndarray  # () float allocation cursor (wraps)
 
 
 class FrameRing(NamedTuple):
@@ -120,27 +134,11 @@ class FrameRing(NamedTuple):
 
 def make_pool(cfg: VIOConfig) -> VisualPool:
     P, K, ps2 = cfg.pool_capacity, cfg.max_obs, cfg.patch_size**2
-    f = jnp.float32
     return VisualPool(
-        pos=jnp.zeros((P, 3), f),
-        normal=jnp.zeros((P, 3), f),
-        prev_normal=jnp.zeros((P, 3), f),
-        cov=jnp.zeros((P, 3, 3), f),
-        valid=jnp.zeros(P, bool),
-        converged=jnp.zeros(P, bool),
-        has_ref=jnp.zeros(P, bool),
-        ref_slot=jnp.zeros(P, jnp.int32),
-        alloc=jnp.asarray(0, jnp.int32),
-        obs_valid=jnp.zeros((P, K), bool),
-        obs_px=jnp.zeros((P, K, 2), f),
-        obs_R=jnp.zeros((P, K, 3, 3), f),
-        obs_t=jnp.zeros((P, K, 3), f),
-        obs_expo=jnp.zeros((P, K), f),
-        obs_frame_slot=jnp.full((P, K), -1, jnp.int32),
-        obs_frame_id=jnp.full((P, K), -1, jnp.int32),
-        obs_patch=jnp.zeros((P, K, ps2), f),
-        obs_mean=jnp.zeros((P, K), f),
-        obs_score=jnp.zeros((P, K), f),
+        point=jnp.zeros((P, POINT_W), jnp.float32),
+        obs=jnp.zeros((P, K, OBS_W), jnp.float32),
+        obs_patch=jnp.zeros((P, K, ps2), jnp.float32),
+        alloc=jnp.asarray(0.0, jnp.float32),
     )
 
 
@@ -149,6 +147,20 @@ def make_ring(cfg: VIOConfig, cam: cam_mod.Camera) -> FrameRing:
         imgs=jnp.zeros((cfg.frame_ring, cam.height, cam.width), jnp.float32),
         ids=jnp.full((cfg.frame_ring,), -1, jnp.int32),
     )
+
+
+# ---- accessors for tests/tools ----
+
+def pool_point_valid(pool: VisualPool):
+    return pool.point[:, _P_VALID] > 0.5
+
+
+def pool_obs_valid(pool: VisualPool):
+    return pool.obs[:, :, _O_VALID] > 0.5
+
+
+def pool_pos(pool: VisualPool):
+    return pool.point[:, _P_POS]
 
 
 def camera_pose(state: NavState, Rci, Pci):
@@ -199,7 +211,6 @@ def rasterize_depth(cam: cam_mod.Camera, Rcw, Pcw, pg_w, pg_valid, border):
     col = jnp.clip(px[:, 0].astype(jnp.int32), 0, cam.width - 1)
     row = jnp.clip(px[:, 1].astype(jnp.int32), 0, cam.height - 1)
     flat = jnp.where(ok, row * cam.width + col, cam.height * cam.width)
-    depth = jnp.full((cam.height * cam.width,), 0.0, jnp.float32)
     big = jnp.float32(3e38)
     depth = jnp.full((cam.height * cam.width,), big).at[flat].min(
         jnp.where(ok, pc[:, 2], big), mode="drop"
@@ -208,23 +219,25 @@ def rasterize_depth(cam: cam_mod.Camera, Rcw, Pcw, pg_w, pg_valid, border):
     return depth.reshape(cam.height, cam.width)
 
 
-def _warp_homography(cam, ring, pool, pidx, ref_slot, Rcw, Pcw, cfg: VIOConfig):
+def _warp_homography(cam, ring, sel_obs, sel_point, Rcw, Pcw, cfg: VIOConfig):
     """Reference-patch affine warp via plane-normal homography
     (getWarpMatrixAffineHomography + getBestSearchLevel + warpAffine,
-    vio.cpp:252-331). Returns (search_level (M,), warp (M, L, patch²),
-    ok (M,))."""
+    vio.cpp:252-331). sel_obs: (M, 20) packed ref-observation rows;
+    sel_point: (M, 19) packed point rows. Returns (search_level (M,),
+    warp (M, L, patch²), ok (M,))."""
     ps = cfg.patch_size
-    half = ps // 2
-    M = pidx.shape[0]
-    R_ref = pool.obs_R[pidx, ref_slot]  # (M, 3, 3)
-    t_ref = pool.obs_t[pidx, ref_slot]
-    px_ref = pool.obs_px[pidx, ref_slot]
-    pos = pool.pos[pidx]
-    normal = pool.normal[pidx]
+    M = sel_obs.shape[0]
+    R_ref = sel_obs[:, _O_R].reshape(M, 3, 3)
+    t_ref = sel_obs[:, _O_T]
+    px_ref = sel_obs[:, _O_PX]
+    pos = sel_point[:, _P_POS]
+    normal = sel_point[:, _P_NRM]
 
     pf = jnp.einsum("mij,mj->mi", R_ref, pos) + t_ref  # point in ref cam
     norm_ref = jnp.einsum("mij,mj->mi", R_ref, normal)
-    norm_ref = norm_ref / jnp.maximum(jnp.linalg.norm(norm_ref, axis=-1, keepdims=True), 1e-9)
+    norm_ref = norm_ref / jnp.maximum(
+        jnp.linalg.norm(norm_ref, axis=-1, keepdims=True), 1e-9
+    )
 
     # T_cur_ref = T_cur_w ∘ T_w_ref
     R_cr = Rcw @ jnp.swapaxes(R_ref, -1, -2)  # (M, 3, 3)
@@ -259,10 +272,8 @@ def _warp_homography(cam, ring, pool, pidx, ref_slot, Rcw, Pcw, cfg: VIOConfig):
         search = search + step.astype(jnp.int32)
         Dw = jnp.where(step, Dw * 0.25, Dw)
 
-    # Inverse affine for ref-side sampling
-    det = D
-    ok = jnp.abs(det) > 1e-8
-    det_safe = jnp.where(ok, det, 1.0)
+    ok = jnp.abs(D) > 1e-8
+    det_safe = jnp.where(ok, D, 1.0)
     Ainv = (
         jnp.stack(
             [
@@ -276,14 +287,13 @@ def _warp_homography(cam, ring, pool, pidx, ref_slot, Rcw, Pcw, cfg: VIOConfig):
 
     dx, dy = img_ops.patch_offsets(ps)  # (ps²,) column/row offsets
     offs = jnp.stack([dx, dy], axis=-1).astype(jnp.float32)  # (ps², 2)
-    slot = pool.obs_frame_slot[pidx, ref_slot]  # (M,)
-    ref_ok = ok & (slot >= 0) & (ring.ids[jnp.clip(slot, 0, None)] == pool.obs_frame_id[pidx, ref_slot])
+    slot = sel_obs[:, _O_SLOT].astype(jnp.int32)
+    fid = sel_obs[:, _O_FID].astype(jnp.int32)
+    ref_ok = ok & (slot >= 0) & (ring.ids[jnp.clip(slot, 0, None)] == fid)
     slot_c = jnp.clip(slot, 0, cfg.frame_ring - 1)
 
     h_img, w_img = ring.imgs.shape[1], ring.imgs.shape[2]
-    # All pyramid levels in one gather set: stack the level scaling into
-    # the patch axis (M, L*ps²) so the ref-image access is 4 gathers total
-    # instead of 4 per level.
+    # All pyramid levels in one gather set.
     lvl_sc = jnp.asarray([1 << l for l in range(cfg.pyramid_levels)], jnp.float32)
     sc = lvl_sc[None, :, None, None] * (2.0 ** search.astype(jnp.float32))[:, None, None, None]
     px_patch = offs[None, None, :, :] * sc  # (M, L, ps², 2)
@@ -309,17 +319,20 @@ def _warp_homography(cam, ring, pool, pidx, ref_slot, Rcw, Pcw, cfg: VIOConfig):
 def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
              cam: cam_mod.Camera, Rci, Pci, cfg: VIOConfig):
     """Build the tracked submap for this frame (retrieveFromVisualSparseMap,
-    vio.cpp:352-782). Returns (submap, pool, cell_occupied)."""
+    vio.cpp:352-782). Returns (submap, pool)."""
     ps = cfg.patch_size
     M = n_cells(cfg)
+    P = cfg.pool_capacity
     Rcw, Pcw = camera_pose(state, Rci, Pci)
     cam_pos = -Rcw.T @ Pcw
 
-    pc = pool.pos @ Rcw.T + Pcw
+    pos_all = pool.point[:, _P_POS]
+    pc = pos_all @ Rcw.T + Pcw
     px = cam_mod.world2cam(cam, pc)
-    n_obs = jnp.sum(pool.obs_valid, axis=1)
+    obs_valid_all = pool.obs[:, :, _O_VALID] > 0.5
+    n_obs = jnp.sum(obs_valid_all, axis=1)
     cand = (
-        pool.valid
+        (pool.point[:, _P_VALID] > 0.5)
         & (n_obs > 0)
         & (pc[:, 2] > 0)
         & cam_mod.in_frame(cam, px, border_px(cfg))
@@ -329,16 +342,18 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
         * cfg.grid_n_width
         + jnp.clip(px[:, 0].astype(jnp.int32) // cfg.grid_size, 0, cfg.grid_n_width - 1)
     )
-    dist = jnp.linalg.norm(pool.pos - cam_pos, axis=-1)
+    dist = jnp.linalg.norm(pos_all - cam_pos, axis=-1)
     win = _cell_argbest(cell, dist, cand, M, "min")  # (M,) pool idx or -1
 
     sel = win >= 0
     pidx = jnp.where(sel, win, 0)
+    sel_point = pool.point[pidx]  # (M, 19) — one gather
+    sel_obs_rows = pool.obs[pidx]  # (M, K, 20) — one gather
+    sel_patches = pool.obs_patch[pidx]  # (M, K, ps²)
     sel_px = px[pidx]
     sel_pc = pc[pidx]
 
-    # Depth continuity (vio.cpp:619-640): any rasterized scan depth within
-    # the patch that differs from the point depth by >0.5m kills the cell.
+    # Depth continuity (vio.cpp:619-640).
     dxo, dyo = img_ops.patch_offsets(ps + 1)  # ±half inclusive → 9x9
     cx = jnp.clip(sel_px[:, 0].astype(jnp.int32)[:, None] + dxo[None, :], 0, cam.width - 1)
     cy = jnp.clip(sel_px[:, 1].astype(jnp.int32)[:, None] + dyo[None, :], 0, cam.height - 1)
@@ -350,42 +365,44 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
 
     # --- Reference patch selection (normal_en path, vio.cpp:653-693) ---
     K = cfg.max_obs
-    obs_valid = pool.obs_valid[pidx]  # (M, K)
+    obs_valid = sel_obs_rows[:, :, _O_VALID] > 0.5  # (M, K)
     n_obs_sel = jnp.sum(obs_valid, axis=1)
-    patches = pool.obs_patch[pidx]  # (M, K, ps²)
-    diff = patches[:, :, None, :] - patches[:, None, :, :]
+    diff = sel_patches[:, :, None, :] - sel_patches[:, None, :, :]
     perr = jnp.sum(diff * diff, axis=-1)  # (M, K, K)
-    pair_ok = obs_valid[:, :, None] & obs_valid[:, None, :]
-    eye = jnp.eye(K, dtype=bool)
-    pair_ok = pair_ok & ~eye
+    pair_ok = obs_valid[:, :, None] & obs_valid[:, None, :] & ~jnp.eye(K, dtype=bool)
     cnt = jnp.maximum(jnp.sum(pair_ok, axis=-1), 1)
     mean_err = jnp.where(
         obs_valid, jnp.sum(jnp.where(pair_ok, perr, 0.0), axis=-1) / cnt, 3e38
     )
     best_obs = jnp.argmin(mean_err, axis=-1).astype(jnp.int32)
     first_obs = jnp.argmax(obs_valid, axis=-1).astype(jnp.int32)
-    had_ref = pool.has_ref[pidx]
-    ref_valid_still = jnp.take_along_axis(
-        obs_valid, pool.ref_slot[pidx][:, None], axis=1
-    )[:, 0]
+    had_ref = sel_point[:, _P_HASREF] > 0.5
+    prev_ref = sel_point[:, _P_REF].astype(jnp.int32)
+    ref_valid_still = jnp.take_along_axis(obs_valid, prev_ref[:, None], axis=1)[:, 0]
     ref_slot = jnp.where(
         had_ref & ref_valid_still,
-        pool.ref_slot[pidx],
+        prev_ref,
         jnp.where(n_obs_sel == 1, first_obs, best_obs),
     )
-    # persist chosen refs (pt->ref_patch caching, :689-692)
-    widx = jnp.where(sel, pidx, cfg.pool_capacity)
+    # persist chosen refs (pt->ref_patch caching, :689-692): full-row RMW
+    new_point_rows = sel_point.at[:, _P_REF].set(ref_slot.astype(jnp.float32))
+    new_point_rows = new_point_rows.at[:, _P_HASREF].set(1.0)
+    widx = jnp.where(sel, pidx, P)
     pool = pool._replace(
-        ref_slot=pool.ref_slot.at[widx].set(ref_slot, mode="drop"),
-        has_ref=pool.has_ref.at[widx].set(True, mode="drop"),
+        point=pool.point.at[widx].set(new_point_rows, mode="drop")
     )
 
-    search, warp, warp_ok = _warp_homography(cam, ring, pool, pidx, ref_slot, Rcw, Pcw, cfg)
+    sel_ref_obs = jnp.take_along_axis(
+        sel_obs_rows, ref_slot[:, None, None], axis=1
+    )[:, 0, :]  # (M, 20)
+    search, warp, warp_ok = _warp_homography(
+        cam, ring, sel_ref_obs, new_point_rows, Rcw, Pcw, cfg
+    )
     sel = sel & warp_ok
 
     # Outlier gate on exposure-normalized level-0 error (:744-763)
     cur_patch = img_ops.sample_patches(img, sel_px, jnp.ones(M, jnp.int32), ps)
-    ref_expo = pool.obs_expo[pidx, ref_slot]
+    ref_expo = sel_ref_obs[:, _O_EXPO]
     e = ref_expo[:, None] * warp[:, 0, :] - state.inv_expo * cur_patch
     err0 = jnp.sum(e * e, axis=-1)
     sel = sel & (err0 <= cfg.outlier_threshold * ps * ps)
@@ -400,7 +417,7 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
     submap = Submap(
         valid=sel,
         point_idx=pidx,
-        pos=pool.pos[pidx],
+        pos=sel_point[:, _P_POS],
         search_level=search,
         warp_patch=warp,
         ref_expo=ref_expo,
@@ -417,7 +434,6 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
     :1520-1688). Returns (state, cov, mean_error)."""
     f32 = cov_prop.dtype
     ps = cfg.patch_size
-    M = submap.valid.shape[0]
     expo_col = 1.0 if cfg.exposure_estimate_en else 0.0
 
     Pic = -Rci.T @ Pci
@@ -438,7 +454,7 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
         inv_scale = 1.0 / scale.astype(f32)
         ref = submap.ref_expo[:, None] * submap.warp_patch[:, level, :]
 
-        def iter_body(carry, _level=level, scale=scale, inv_scale=inv_scale, ref=ref):
+        def iter_body(carry, scale=scale, inv_scale=inv_scale, ref=ref):
             it, state, old_state, last_error, stop, G_keep, final_err = carry
             Rcw, Pcw = camera_pose(state, Rci, Pci)
             Jdp_dt = Rcw  # Rci @ Rwi^T (:1544)
@@ -508,16 +524,33 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
     return state, cov, final_err
 
 
-def generate_points(pool: VisualPool, img, pg_w, pg_normal, pg_var, pg_valid,
+def _make_obs_row(px, Rcw, Pcw, expo, frame_slot, frame_id, mean, score, M):
+    """Compose full (M, 20) packed observation rows."""
+    Rr = jnp.broadcast_to(Rcw.reshape(9), (M, 9))
+    tr = jnp.broadcast_to(Pcw, (M, 3))
+    return jnp.concatenate(
+        [
+            jnp.ones((M, 1)), px, Rr, tr,
+            jnp.full((M, 1), expo),
+            jnp.full((M, 1), frame_slot, jnp.float32),
+            jnp.full((M, 1), frame_id, jnp.float32),
+            mean[:, None], score[:, None],
+        ],
+        axis=-1,
+    )
+
+
+def generate_points(pool: VisualPool, img, pg_w, pg_normal, pg_var6, pg_valid,
                     cell_occupied, state: NavState, cam: cam_mod.Camera,
                     Rci, Pci, frame_id, frame_slot, cfg: VIOConfig):
     """Create new visual map points from the current scan: best Shi-Tomasi
     candidate per empty grid cell (generateVisualMapPoints,
     vio.cpp:804-906). Allocation wraps the pool (oldest slots recycled).
-    Returns (pool, n_added)."""
+    pg_var6: (N, 6) sym6 point covariances. Returns (pool, n_added)."""
     ps = cfg.patch_size
     M = n_cells(cfg)
     P = cfg.pool_capacity
+    K = cfg.max_obs
     Rcw, Pcw = camera_pose(state, Rci, Pci)
 
     pc = pg_w @ Rcw.T + Pcw
@@ -539,49 +572,45 @@ def generate_points(pool: VisualPool, img, pg_w, pg_normal, pg_var, pg_valid,
     chosen = win >= 0
     gi = jnp.where(chosen, win, 0)
     new_pos = pg_w[gi]
-    new_var = pg_var[gi]
+    new_var6 = pg_var6[gi]
     # Normal sign: point it toward the camera (:867-890).
     norm_cam = jnp.einsum("ij,mj->mi", Rcw, pg_normal[gi])
     dir_cam = new_pos @ Rcw.T + Pcw
-    dir_cam = dir_cam / jnp.maximum(jnp.linalg.norm(dir_cam, axis=-1, keepdims=True), 1e-9)
+    dir_cam = dir_cam / jnp.maximum(
+        jnp.linalg.norm(dir_cam, axis=-1, keepdims=True), 1e-9
+    )
     flip = jnp.sum(dir_cam * norm_cam, axis=-1) < 0
     new_normal = jnp.where(flip[:, None], -pg_normal[gi], pg_normal[gi])
 
     offset = jnp.cumsum(chosen.astype(jnp.int32)) - 1
     n_added = jnp.sum(chosen.astype(jnp.int32))
-    slot = jnp.where(chosen, (pool.alloc + offset) % P, P)  # drop when P
+    slot = jnp.where(
+        chosen, (pool.alloc.astype(jnp.int32) + offset) % P, P
+    )  # drop when P
 
     new_px = cam_mod.world2cam(cam, new_pos @ Rcw.T + Pcw)
     patch = img_ops.sample_patches(img, new_px, jnp.ones(M, jnp.int32), ps)
 
-    K = cfg.max_obs
-    obs_valid_row = jnp.zeros((M, K), bool).at[:, 0].set(True)
+    point_rows = jnp.concatenate(
+        [
+            new_pos, new_normal, new_normal, new_var6,
+            jnp.ones((M, 1)),        # valid
+            jnp.zeros((M, 1)),       # converged
+            jnp.ones((M, 1)),        # has_ref
+            jnp.zeros((M, 1)),       # ref_slot = 0
+        ],
+        axis=-1,
+    )
+    obs0 = _make_obs_row(new_px, Rcw, Pcw, state.inv_expo, frame_slot,
+                         frame_id, jnp.mean(patch, axis=-1), jnp.zeros(M), M)
+    obs_rows = jnp.zeros((M, K, OBS_W)).at[:, 0, :].set(obs0)
+    patch_rows = jnp.zeros((M, K, ps * ps)).at[:, 0, :].set(patch)
+
     pool = pool._replace(
-        pos=pool.pos.at[slot].set(new_pos, mode="drop"),
-        normal=pool.normal.at[slot].set(new_normal, mode="drop"),
-        prev_normal=pool.prev_normal.at[slot].set(new_normal, mode="drop"),
-        cov=pool.cov.at[slot].set(new_var, mode="drop"),
-        valid=pool.valid.at[slot].set(True, mode="drop"),
-        converged=pool.converged.at[slot].set(False, mode="drop"),
-        has_ref=pool.has_ref.at[slot].set(True, mode="drop"),
-        ref_slot=pool.ref_slot.at[slot].set(0, mode="drop"),
-        alloc=pool.alloc + n_added,
-        obs_valid=pool.obs_valid.at[slot].set(obs_valid_row, mode="drop"),
-        obs_px=pool.obs_px.at[slot, 0].set(new_px, mode="drop"),
-        obs_R=pool.obs_R.at[slot, 0].set(jnp.broadcast_to(Rcw, (M, 3, 3)), mode="drop"),
-        obs_t=pool.obs_t.at[slot, 0].set(jnp.broadcast_to(Pcw, (M, 3)), mode="drop"),
-        obs_expo=pool.obs_expo.at[slot, 0].set(
-            jnp.full((M,), state.inv_expo), mode="drop"
-        ),
-        obs_frame_slot=pool.obs_frame_slot.at[slot, 0].set(
-            jnp.full((M,), frame_slot, jnp.int32), mode="drop"
-        ),
-        obs_frame_id=pool.obs_frame_id.at[slot, 0].set(
-            jnp.full((M,), frame_id, jnp.int32), mode="drop"
-        ),
-        obs_patch=pool.obs_patch.at[slot, 0].set(patch, mode="drop"),
-        obs_mean=pool.obs_mean.at[slot, 0].set(jnp.mean(patch, axis=-1), mode="drop"),
-        obs_score=pool.obs_score.at[slot].set(jnp.zeros((M, K)), mode="drop"),
+        point=pool.point.at[slot].set(point_rows, mode="drop"),
+        obs=pool.obs.at[slot].set(obs_rows, mode="drop"),
+        obs_patch=pool.obs_patch.at[slot].set(patch_rows, mode="drop"),
+        alloc=pool.alloc + n_added.astype(jnp.float32),
     )
     return pool, n_added
 
@@ -600,27 +629,30 @@ def update_obs(pool: VisualPool, submap: Submap, img, state: NavState,
     Rcw, Pcw = camera_pose(state, Rci, Pci)
     pidx = submap.point_idx
 
-    conv = pool.converged[pidx] & submap.valid
-    # deleteNonRefPatchFeatures: keep only the ref slot.
-    keep_only_ref = jnp.zeros((M, K), bool).at[
-        jnp.arange(M), pool.ref_slot[pidx]
-    ].set(True)
-    wconv = jnp.where(conv, pidx, P)
-    pool = pool._replace(
-        obs_valid=pool.obs_valid.at[wconv].set(
-            pool.obs_valid[pidx] & keep_only_ref, mode="drop"
-        )
+    point_rows = pool.point[pidx]  # (M, 19)
+    obs_rows = pool.obs[pidx]  # (M, K, 20)
+    conv = (point_rows[:, _P_CONV] > 0.5) & submap.valid
+    ref_slot = point_rows[:, _P_REF].astype(jnp.int32)
+
+    # deleteNonRefPatchFeatures: keep only the ref slot (full-row RMW).
+    keep_only_ref = (
+        jax.lax.broadcasted_iota(jnp.int32, (M, K), 1) == ref_slot[:, None]
     )
+    obs_valid0 = obs_rows[:, :, _O_VALID] > 0.5
+    new_valid = jnp.where(
+        conv[:, None], obs_valid0 & keep_only_ref, obs_valid0
+    )
+    obs_rows = obs_rows.at[:, :, _O_VALID].set(new_valid.astype(jnp.float32))
 
     lane_ok = submap.valid & ~conv
-    px = cam_mod.world2cam(cam, pool.pos[pidx] @ Rcw.T + Pcw)
+    px = cam_mod.world2cam(cam, point_rows[:, _P_POS] @ Rcw.T + Pcw)
 
-    obs_valid = pool.obs_valid[pidx]
-    fid = jnp.where(obs_valid, pool.obs_frame_id[pidx], -1)
-    last = jnp.argmax(fid, axis=-1).astype(jnp.int32)  # most recent obs
-    R_l = pool.obs_R[pidx, last]
-    t_l = pool.obs_t[pidx, last]
-    px_l = pool.obs_px[pidx, last]
+    fid = jnp.where(new_valid, obs_rows[:, :, _O_FID], -1.0)
+    last = jnp.argmax(fid, axis=-1)  # most recent obs
+    last_obs = jnp.take_along_axis(obs_rows, last[:, None, None], axis=1)[:, 0, :]
+    R_l = last_obs[:, _O_R].reshape(M, 3, 3)
+    t_l = last_obs[:, _O_T]
+    px_l = last_obs[:, _O_PX]
     # delta_pose = pose_ref * pose_cur^{-1} (:935-939)
     R_d = R_l @ Rcw.T
     t_d = t_l - jnp.einsum("mij,j->mi", R_d, Pcw)
@@ -635,37 +667,33 @@ def update_obs(pool: VisualPool, submap: Submap, img, state: NavState,
     )
 
     # Slot choice: first free, else min-score eviction (:946-953).
-    any_free = jnp.any(~obs_valid, axis=-1)
-    first_free = jnp.argmax(~obs_valid, axis=-1).astype(jnp.int32)
+    any_free = jnp.any(~new_valid, axis=-1)
+    first_free = jnp.argmax(~new_valid, axis=-1).astype(jnp.int32)
     evict = jnp.argmin(
-        jnp.where(obs_valid, pool.obs_score[pidx], 3e38), axis=-1
+        jnp.where(new_valid, obs_rows[:, :, _O_SCORE], 3e38), axis=-1
     ).astype(jnp.int32)
     wslot = jnp.where(any_free, first_free, evict)
     # Evicting the ref drops the cached ref (visual_point.cpp:113-127).
-    ref_killed = ~any_free & (wslot == pool.ref_slot[pidx])
+    ref_killed = ~any_free & (wslot == ref_slot)
+    point_rows = point_rows.at[:, _P_HASREF].set(
+        jnp.where(add & ref_killed, 0.0, point_rows[:, _P_HASREF])
+    )
 
     patch = img_ops.sample_patches(img, px, jnp.ones(M, jnp.int32), ps)
-    wp = jnp.where(add, pidx, P)
+    new_obs = _make_obs_row(px, Rcw, Pcw, state.inv_expo, frame_slot, frame_id,
+                            jnp.mean(patch, axis=-1), jnp.zeros(M), M)
+    write_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (M, K), 1) == wslot[:, None]
+    ) & add[:, None]
+    obs_rows = jnp.where(write_row[:, :, None], new_obs[:, None, :], obs_rows)
+    patches = pool.obs_patch[pidx]
+    patches = jnp.where(write_row[:, :, None], patch[:, None, :], patches)
+
+    wp = jnp.where(submap.valid, pidx, P)
     pool = pool._replace(
-        has_ref=pool.has_ref.at[jnp.where(add & ref_killed, pidx, P)].set(
-            False, mode="drop"
-        ),
-        obs_valid=pool.obs_valid.at[wp, wslot].set(True, mode="drop"),
-        obs_px=pool.obs_px.at[wp, wslot].set(px, mode="drop"),
-        obs_R=pool.obs_R.at[wp, wslot].set(jnp.broadcast_to(Rcw, (M, 3, 3)), mode="drop"),
-        obs_t=pool.obs_t.at[wp, wslot].set(jnp.broadcast_to(Pcw, (M, 3)), mode="drop"),
-        obs_expo=pool.obs_expo.at[wp, wslot].set(
-            jnp.full((M,), state.inv_expo), mode="drop"
-        ),
-        obs_frame_slot=pool.obs_frame_slot.at[wp, wslot].set(
-            jnp.full((M,), frame_slot, jnp.int32), mode="drop"
-        ),
-        obs_frame_id=pool.obs_frame_id.at[wp, wslot].set(
-            jnp.full((M,), frame_id, jnp.int32), mode="drop"
-        ),
-        obs_patch=pool.obs_patch.at[wp, wslot].set(patch, mode="drop"),
-        obs_mean=pool.obs_mean.at[wp, wslot].set(jnp.mean(patch, axis=-1), mode="drop"),
-        obs_score=pool.obs_score.at[wp, wslot].set(jnp.zeros(M), mode="drop"),
+        point=pool.point.at[wp].set(point_rows, mode="drop"),
+        obs=pool.obs.at[wp].set(obs_rows, mode="drop"),
+        obs_patch=pool.obs_patch.at[wp].set(patches, mode="drop"),
     )
     return pool, add
 
@@ -679,39 +707,44 @@ def update_reference(pool: VisualPool, vmap_state: VoxelMap,
     P = cfg.pool_capacity
     M = submap.valid.shape[0]
     pidx = submap.point_idx
-    n_obs = jnp.sum(pool.obs_valid[pidx], axis=-1)
-    lane = (
-        submap.valid & updated & ~pool.converged[pidx] & (n_obs > 5)
-    )
+    point_rows = pool.point[pidx]
+    obs_rows = pool.obs[pidx]
+    patches = pool.obs_patch[pidx]
+    obs_valid = obs_rows[:, :, _O_VALID] > 0.5
+    n_obs = jnp.sum(obs_valid, axis=-1)
+    conv = point_rows[:, _P_CONV] > 0.5
+    lane = submap.valid & updated & ~conv & (n_obs > 5)
 
-    pos = pool.pos[pidx]
+    pos = point_rows[:, _P_POS]
     found, pn, pd, pcen, prad, psigma = query_plane(vmap_state, pos, map_cfg)
     dis = jnp.sum(pn * pos, axis=-1) + pd
     a = pos - pcen
     dc2 = jnp.sum(a * a, axis=-1)
     range_ok = jnp.clip(dc2 - dis * dis, 0.0, None) <= (3.0 * prad) ** 2
-    sigma_l = psigma + jnp.einsum("mi,mij,mj->m", pn, pool.cov[pidx], pn)
+    from .voxel_map import quad6
+
+    sigma_l = psigma + quad6(point_rows[:, _P_COV], pn)
     gate = jnp.abs(dis) < 3.0 * jnp.sqrt(jnp.clip(sigma_l, 1e-12, None))
     refine = lane & found & range_ok & gate
 
-    sign = jnp.where(jnp.sum(pool.prev_normal[pidx] * pn, axis=-1) < 0, -1.0, 1.0)
+    prev = point_rows[:, _P_PRV]
+    sign = jnp.where(jnp.sum(prev * pn, axis=-1) < 0, -1.0, 1.0)
     new_normal = sign[:, None] * pn
-    normal_update = jnp.linalg.norm(new_normal - pool.prev_normal[pidx], axis=-1)
+    normal_update = jnp.linalg.norm(new_normal - prev, axis=-1)
     new_conv = refine & (normal_update < 1e-4) & (n_obs > 10)
 
-    wr = jnp.where(refine, pidx, P)
-    pool = pool._replace(
-        normal=pool.normal.at[wr].set(new_normal, mode="drop"),
-        prev_normal=pool.prev_normal.at[wr].set(new_normal, mode="drop"),
-        converged=pool.converged.at[jnp.where(new_conv, pidx, P)].set(
-            True, mode="drop"
-        ),
+    point_rows = point_rows.at[:, _P_NRM].set(
+        jnp.where(refine[:, None], new_normal, point_rows[:, _P_NRM])
+    )
+    point_rows = point_rows.at[:, _P_PRV].set(
+        jnp.where(refine[:, None], new_normal, point_rows[:, _P_PRV])
+    )
+    point_rows = point_rows.at[:, _P_CONV].set(
+        jnp.where(new_conv, 1.0, point_rows[:, _P_CONV])
     )
 
     # --- observation re-scoring (:1036-1097) ---
-    obs_valid = pool.obs_valid[pidx]
-    patches = pool.obs_patch[pidx]  # (M, K, ps²)
-    means = jnp.mean(patches, axis=-1)  # recompute means
+    means = jnp.mean(patches, axis=-1)
     cen = patches - means[..., None]
     num = jnp.einsum("mkp,mlp->mkl", cen, cen)
     den = jnp.sqrt(
@@ -724,21 +757,27 @@ def update_reference(pool: VisualPool, vmap_state: VoxelMap,
     cnt = jnp.maximum(jnp.sum(pair, axis=-1), 1)
     ncc_mean = jnp.sum(jnp.where(pair, ncc, 0.0), axis=-1) / cnt
 
-    pf = jnp.einsum("mkij,mj->mki", pool.obs_R[pidx], pool.pos[pidx]) + pool.obs_t[pidx]
+    R_obs = obs_rows[:, :, _O_R].reshape(M, K, 3, 3)
+    pf = jnp.einsum("mkij,mj->mki", R_obs, pos) + obs_rows[:, :, _O_T]
     pf = pf / jnp.maximum(jnp.linalg.norm(pf, axis=-1, keepdims=True), 1e-9)
-    nrm = jnp.einsum("mkij,mj->mki", pool.obs_R[pidx], pool.normal[pidx])
+    nrm = jnp.einsum("mkij,mj->mki", R_obs, point_rows[:, _P_NRM])
     cos_angle = jnp.sum(pf * nrm, axis=-1)
     score = jnp.where(obs_valid, ncc_mean + cos_angle, -3e38)
-    best = jnp.argmax(score, axis=-1).astype(jnp.int32)
+    best = jnp.argmax(score, axis=-1).astype(jnp.float32)
 
-    wl = jnp.where(lane, pidx, P)
+    obs_rows = obs_rows.at[:, :, _O_SCORE].set(jnp.where(obs_valid, score, 0.0))
+    obs_rows = obs_rows.at[:, :, _O_MEAN].set(means)
+    point_rows = point_rows.at[:, _P_REF].set(
+        jnp.where(lane, best, point_rows[:, _P_REF])
+    )
+    point_rows = point_rows.at[:, _P_HASREF].set(
+        jnp.where(lane, 1.0, point_rows[:, _P_HASREF])
+    )
+
+    wl = jnp.where(submap.valid, pidx, P)
     pool = pool._replace(
-        obs_score=pool.obs_score.at[wl].set(
-            jnp.where(obs_valid, score, 0.0), mode="drop"
-        ),
-        obs_mean=pool.obs_mean.at[wl].set(means, mode="drop"),
-        ref_slot=pool.ref_slot.at[wl].set(best, mode="drop"),
-        has_ref=pool.has_ref.at[wl].set(True, mode="drop"),
+        point=pool.point.at[wl].set(point_rows, mode="drop"),
+        obs=pool.obs.at[wl].set(obs_rows, mode="drop"),
     )
     return pool
 
@@ -752,16 +791,23 @@ def ring_insert(pool: VisualPool, ring: FrameRing, img, frame_id, cfg: VIOConfig
         imgs=ring.imgs.at[slot].set(img),
         ids=ring.ids.at[slot].set(frame_id),
     )
-    evicted = (pool.obs_frame_slot == slot) & (pool.obs_frame_id != frame_id)
-    obs_valid = pool.obs_valid & ~evicted
-    # Points whose ref obs died lose the cached ref.
-    ref_dead = ~jnp.take_along_axis(obs_valid, pool.ref_slot[:, None], axis=1)[:, 0]
-    pool = pool._replace(
-        obs_valid=obs_valid,
-        has_ref=pool.has_ref & ~ref_dead,
-        valid=pool.valid & jnp.any(obs_valid, axis=-1),
+    obs_valid = pool.obs[:, :, _O_VALID] > 0.5
+    evicted = (
+        (pool.obs[:, :, _O_SLOT].astype(jnp.int32) == slot)
+        & (pool.obs[:, :, _O_FID].astype(jnp.int32) != frame_id)
     )
-    return pool, ring, slot
+    new_valid = obs_valid & ~evicted
+    obs = pool.obs.at[:, :, _O_VALID].set(new_valid.astype(jnp.float32))
+    # Points whose ref obs died lose the cached ref; 0-obs points die.
+    ref_slot = pool.point[:, _P_REF].astype(jnp.int32)
+    ref_alive = jnp.take_along_axis(new_valid, ref_slot[:, None], axis=1)[:, 0]
+    point = pool.point.at[:, _P_HASREF].set(
+        pool.point[:, _P_HASREF] * ref_alive.astype(jnp.float32)
+    )
+    point = point.at[:, _P_VALID].set(
+        point[:, _P_VALID] * jnp.any(new_valid, axis=-1).astype(jnp.float32)
+    )
+    return pool._replace(point=point, obs=obs), ring, slot
 
 
 class VIOStepResult(NamedTuple):
@@ -780,7 +826,9 @@ def vio_step(state_prop: NavState, cov_prop, pool: VisualPool, ring: FrameRing,
              map_cfg: VoxelMapConfig, ray_table=None) -> VIOStepResult:
     """One full VIO frame (processFrame, vio.cpp:1786-1876): retrieval →
     iterated photometric update → new-point generation → observation
-    update → reference/normal refinement → optional raycast recovery."""
+    update → reference/normal refinement → optional raycast recovery.
+    pg_var: (N, 3, 3) or (N, 6) sym6."""
+    pg_var6 = pg_var if pg_var.ndim == 2 else sym6(pg_var)
     pool, ring, frame_slot = ring_insert(pool, ring, img, frame_id, cfg)
 
     Rcw0, Pcw0 = camera_pose(state_prop, Rci, Pci)
@@ -805,15 +853,17 @@ def vio_step(state_prop: NavState, cov_prop, pool: VisualPool, ring: FrameRing,
             vmap_state, map_cfg, ~submap.valid, border_cell, ray_samples,
             scan_tab, state, Rci, Pci,
         )
-        rc_var = jnp.tile(jnp.eye(3, dtype=pg_var.dtype) * 1e-2,
-                          (rc_pos.shape[0], 1, 1))
+        rc_var6 = jnp.tile(
+            jnp.asarray([1e-2, 0, 0, 1e-2, 0, 1e-2], pg_var6.dtype),
+            (rc_pos.shape[0], 1),
+        )
         pg_w = jnp.concatenate([pg_w, rc_pos])
         pg_normal = jnp.concatenate([pg_normal, rc_nrm])
-        pg_var = jnp.concatenate([pg_var, rc_var])
+        pg_var6 = jnp.concatenate([pg_var6, rc_var6])
         pg_valid = jnp.concatenate([pg_valid, rc_ok])
 
     pool, n_added = generate_points(
-        pool, img, pg_w, pg_normal, pg_var, pg_valid, submap.valid, state, cam,
+        pool, img, pg_w, pg_normal, pg_var6, pg_valid, submap.valid, state, cam,
         Rci, Pci, frame_id, frame_slot, cfg
     )
     pool, updated = update_obs(

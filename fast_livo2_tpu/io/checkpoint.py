@@ -24,8 +24,7 @@ def _flatten(tree) -> Tuple[dict, str]:
 def save(path: str, pipeline) -> None:
     """Snapshot a LIVOPipeline's device state + host scalars."""
     tree = {
-        "state": pipeline.state,
-        "cov": pipeline.cov,
+        "packed": pipeline.packed,
         "vmap": pipeline.vmap_state,
         "pool": pipeline.pool,
         "ring": pipeline.ring,
@@ -59,8 +58,7 @@ def load(path: str, pipeline) -> None:
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
     tree = {
-        "state": pipeline.state,
-        "cov": pipeline.cov,
+        "packed": pipeline.packed,
         "vmap": pipeline.vmap_state,
         "pool": pipeline.pool,
         "ring": pipeline.ring,
@@ -76,8 +74,7 @@ def load(path: str, pipeline) -> None:
         )
         new_leaves.append(jnp.asarray(arr))
     restored = jax.tree_util.tree_unflatten(treedef, new_leaves)
-    pipeline.state = restored["state"]
-    pipeline.cov = restored["cov"]
+    pipeline.packed = restored["packed"]
     pipeline.vmap_state = restored["vmap"]
     pipeline.pool = restored["pool"]
     pipeline.ring = restored["ring"]
