@@ -147,9 +147,10 @@ class LIVOPipeline:
         # undistort → downsample → LIO ESIKF → map update → VIO) runs as a
         # single call of ~15 fat arrays. Map/pool/ring are donated.
         self._frame_jit = jax.jit(
-            self._frame_step, static_argnames=("first", "use_vio"),
+            self._frame_step, static_argnames=("first", "use_vio", "emit_pg"),
             donate_argnums=(1, 2, 3),
         )
+        self._vio_half_jit = jax.jit(self._vio_half, donate_argnums=(1, 2))
         self._colorize_jit = jax.jit(
             lambda img, pts, valid, state: vio_mod.colorize_points(
                 img, pts, valid, state, self.cam, self.Rci, self.Pci,
@@ -179,11 +180,14 @@ class LIVOPipeline:
     # ---------- jitted step bodies ----------
 
     def _frame_step(self, packed_sc, vmap_state, pool, ring, imu_pack,
-                    pts_pack, img, frame_id, first: bool, use_vio: bool):
-        """The whole frame as one device program. imu_pack: (K, 9) packed
-        IMU intervals (or scalar dt in only_lo mode); pts_pack: (N, 5)
-        packed [xyz | t_offs | valid]. Returns (packed_sc, map, pool,
-        ring, diag (6,))."""
+                    pts_pack, img, frame_id, first: bool, use_vio: bool,
+                    emit_pg: bool = False):
+        """The frame as one device program. imu_pack: (K, 9) packed IMU
+        intervals (or scalar dt in only_lo mode); pts_pack: (N, 5) packed
+        [xyz | t_offs | valid]. Returns (packed_sc, map, pool, ring,
+        diag (6,)[, pg_pack (N, 13)]) — pg_pack (world points + matched
+        normals + sym6 covariances + valid) feeds the split-mode VIO
+        half."""
         cfg = self.cfg
         state, cov = unpack_state(packed_sc)
         pts = pts_pack[:, 0:3]
@@ -224,8 +228,11 @@ class LIVOPipeline:
             vmap_state = vmap_mod.update_map(vmap_state, pts_w, var_w,
                                              down_valid, self.map_cfg)
             diag = jnp.zeros((6,), jnp.float32)
-            return (pack_state(state_prop, cov_prop), vmap_state, pool, ring,
-                    diag)
+            out = (pack_state(state_prop, cov_prop), vmap_state, pool, ring,
+                   diag)
+            if emit_pg:
+                out = out + (jnp.zeros((pts_w.shape[0], 13), jnp.float32),)
+            return out
 
         res = lio_mod.lio_update(
             state_prop, cov_prop, vmap_state, down, down_valid,
@@ -255,7 +262,31 @@ class LIVOPipeline:
             n_tracked.astype(jnp.float32), n_added.astype(jnp.float32),
             verr, jnp.asarray(0.0),
         ])
-        return pack_state(state, cov), vmap_state, pool, ring, diag
+        out = (pack_state(state, cov), vmap_state, pool, ring, diag)
+        if emit_pg:
+            normal = jnp.where(res.match.valid[:, None], res.match.normal, 0.0)
+            pg_pack = jnp.concatenate(
+                [res.pts_w, normal, vmap_mod.sym6(res.var_w),
+                 down_valid[:, None].astype(jnp.float32)], axis=-1,
+            )
+            out = out + (pg_pack,)
+        return out
+
+    def _vio_half(self, packed_sc, pool, ring, vmap_state, img, pg_pack,
+                  frame_id):
+        """Split-mode VIO half over packed interfaces."""
+        state, cov = unpack_state(packed_sc)
+        vres = vio_mod.vio_step(
+            state, cov, pool, ring, vmap_state, img,
+            pg_pack[:, 0:3], pg_pack[:, 3:6], pg_pack[:, 6:12],
+            pg_pack[:, 12] > 0.5, frame_id, self.cam, self.Rci, self.Pci,
+            self.vio_cfg, self.map_cfg, ray_table=self._ray_table,
+        )
+        diag = jnp.stack([
+            vres.n_tracked.astype(jnp.float32),
+            vres.n_added.astype(jnp.float32), vres.mean_error,
+        ])
+        return pack_state(vres.state, vres.cov), vres.pool, vres.ring, diag
 
     # ---------- host orchestration ----------
 
@@ -388,12 +419,27 @@ class LIVOPipeline:
             imu_pack, pts_pack = self._prepare_packet(t_ev, seq)
             use_vio = use_images and img is not None and not first
             img_dev = jnp.asarray(img) if use_vio else dummy_img
-            (self.packed, self.vmap_state, self.pool, self.ring,
-             diag) = self._frame_jit(
-                self.packed, self.vmap_state, self.pool, self.ring, imu_pack,
-                pts_pack, img_dev, jnp.asarray(self.frame_id, jnp.int32),
-                first=first, use_vio=use_vio,
-            )
+            fid = jnp.asarray(self.frame_id, jnp.int32)
+            if use_vio and not self.cfg.tpu.fused_frame:
+                (self.packed, self.vmap_state, self.pool, self.ring, diag,
+                 pg_pack) = self._frame_jit(
+                    self.packed, self.vmap_state, self.pool, self.ring,
+                    imu_pack, pts_pack, img_dev, fid,
+                    first=first, use_vio=False, emit_pg=True,
+                )
+                (self.packed, self.pool, self.ring,
+                 vdiag) = self._vio_half_jit(
+                    self.packed, self.pool, self.ring, self.vmap_state,
+                    img_dev, pg_pack, fid,
+                )
+                diag = diag.at[2:5].set(vdiag)
+            else:
+                (self.packed, self.vmap_state, self.pool, self.ring,
+                 diag) = self._frame_jit(
+                    self.packed, self.vmap_state, self.pool, self.ring,
+                    imu_pack, pts_pack, img_dev, fid,
+                    first=first, use_vio=use_vio,
+                )
             self.map_inited = True
             if use_vio and self.pcd_accumulate:
                 st, _ = unpack_state(self.packed)

@@ -169,6 +169,9 @@ class TPUParams:
     vis_obs_per_point: int = 8  # observation slots per visual point
     frame_ring: int = 64  # reference-frame ring buffer length
     max_tracked_points: int = 256  # per-frame visual submap pad size
+    fused_frame: bool = False  # one jit per frame (lowest dispatch) vs
+    # two (LIO, VIO) — the fused program minimizes per-frame overhead but
+    # its first compile is much longer; split is the safe default
     dtype: str = "float32"
 
 
