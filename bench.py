@@ -54,12 +54,18 @@ def main():
     log(f"[bench] sequence ready in {time.time() - t0:.1f}s: "
         f"{len(seq.scans)} scans, {len(seq.images)} images")
 
+    import os
+
     cfg = LIVOConfig()
     cfg.camera = cam_cfg
     cfg.extrin_calib.Rcl = list(synthetic.R_CI_FORWARD.reshape(-1))
     cfg.extrin_calib.Pcl = [0.0, 0.0, 0.0]
     cfg.preprocess.filter_size_surf = 0.15
-    pipe = LIVOPipeline(cfg, slam_mode="livo")
+    cfg.tpu.fused_frame = os.environ.get("BENCH_FUSED", "0") == "1"
+    mode = os.environ.get("BENCH_MODE", "livo")  # bisection aid
+    if os.environ.get("BENCH_LAYERS"):
+        cfg.lio.max_layer = int(os.environ["BENCH_LAYERS"]) - 1
+    pipe = LIVOPipeline(cfg, slam_mode=mode)
 
     t1 = time.time()
     traj = pipe.process(seq, progress=False)  # ends with a device sync

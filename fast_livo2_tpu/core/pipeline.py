@@ -17,9 +17,15 @@ and leftover scan points roll into the next packet. ONLY_LIO cuts at
 scan-end times instead.
 """
 
+import os
 import time
 from functools import partial
 from typing import List, Optional, Tuple
+
+# Perf-bisection flags (dev only): skip pipeline stages to localize
+# in-situ device time. FLV_SKIP=map,lio,vio,und,down
+_SKIP = set(os.environ.get("FLV_SKIP", "").split(","))
+_NO_DONATE = os.environ.get("FLV_NO_DONATE", "0") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -146,11 +152,13 @@ class LIVOPipeline:
         # leaf count (~1 ms/leaf), so the whole frame (propagate →
         # undistort → downsample → LIO ESIKF → map update → VIO) runs as a
         # single call of ~15 fat arrays. Map/pool/ring are donated.
+        don = () if _NO_DONATE else (1, 2, 3)
+        donv = () if _NO_DONATE else (1, 2)
         self._frame_jit = jax.jit(
             self._frame_step, static_argnames=("first", "use_vio", "emit_pg"),
-            donate_argnums=(1, 2, 3),
+            donate_argnums=don,
         )
-        self._vio_half_jit = jax.jit(self._vio_half, donate_argnums=(1, 2))
+        self._vio_half_jit = jax.jit(self._vio_half, donate_argnums=donv)
         self._colorize_jit = jax.jit(
             lambda img, pts, valid, state: vio_mod.colorize_points(
                 img, pts, valid, state, self.cam, self.Rci, self.Pci,
@@ -238,11 +246,12 @@ class LIVOPipeline:
             state_prop, cov_prop, vmap_state, down, down_valid,
             self.ext_R, self.ext_T, self.map_cfg,
             dept_err=cfg.lio.dept_err, beam_err=cfg.lio.beam_err,
-            max_iterations=cfg.lio.max_iterations,
+            max_iterations=cfg.lio.max_iterations if "lio" not in _SKIP else 1,
         )
-        vmap_state = vmap_mod.update_map(
-            vmap_state, res.pts_w, res.var_w, down_valid, self.map_cfg
-        )
+        if "map" not in _SKIP:
+            vmap_state = vmap_mod.update_map(
+                vmap_state, res.pts_w, res.var_w, down_valid, self.map_cfg
+            )
         state, cov = res.state, res.cov
         n_tracked = jnp.asarray(0, jnp.int32)
         n_added = jnp.asarray(0, jnp.int32)

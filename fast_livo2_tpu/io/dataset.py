@@ -57,7 +57,8 @@ class NpzSequence:
 
 
 def load_sequence(path: str, imu_time_offset=0.0, img_time_offset=0.0,
-                  lidar_time_offset=0.0, image_scale=1.0) -> NpzSequence:
+                  lidar_time_offset=0.0, image_scale=1.0,
+                  img_decimate: int = 1) -> NpzSequence:
     imu = np.load(os.path.join(path, "imu.npz"))
     imu_stamps = imu["stamps"].astype(np.float64) - imu_time_offset
 
@@ -77,7 +78,10 @@ def load_sequence(path: str, imu_time_offset=0.0, img_time_offset=0.0,
     if os.path.exists(img_path):
         im = np.load(img_path)
         n_half = {1.0: 0, 0.5: 1, 0.25: 2}.get(round(image_scale, 2))
+        # hilti_en-style decimation (LIVMapper.cpp:841-845): keep 1-in-N
         for i, ts in enumerate(im["stamps"]):
+            if img_decimate > 1 and i % img_decimate:
+                continue
             img = to_gray(im[f"img_{i:05d}"])
             if n_half:
                 img = resize_half(img, n_half)
