@@ -1,0 +1,78 @@
+"""Pallas TPU row-gather: DMA-pipelined random row access (experiment).
+
+Motivation: XLA's gather lowering on TPU looked latency-bound (~1.7 ms
+for 8k rows of any width — ~0.8 GB/s effective against ~800 GB/s HBM
+streaming). This kernel expresses the same operation with explicit
+grouped async DMAs: the row index array is prefetched to SMEM, each grid
+step issues G row copies back-to-back, waits, and writes the block out.
+
+MEASURED RESULT (v5e): the kernel is exact and runs at XLA-gather speed
+(1.8-1.9 ms vs 1.73 ms for 8192 x 128 f32 rows from a 262144-row table;
+~0.22 us/row either way) — i.e. XLA's gather already saturates the
+chip's random-row access floor, and wider DMA issue windows do not beat
+it. The engine therefore optimizes gather *count* (windowed probe
+chains, packed per-voxel records, superpatch sampling — see
+core/voxel_map.py, ops/image.py) rather than gather implementation.
+Kept as the measured baseline for revisiting on other TPU generations.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(idx_ref, table_ref, out_ref, scratch, sem):
+    g = pl.program_id(0)
+    G = out_ref.shape[0]
+
+    def body(k, _):
+        row = idx_ref[g * G + k]
+        cp = pltpu.make_async_copy(
+            table_ref.at[pl.ds(row, 1)], scratch.at[pl.ds(k, 1)], sem.at[k]
+        )
+        cp.start()
+        return 0
+
+    jax.lax.fori_loop(0, G, body, 0)
+
+    def wait(k, _):
+        row = idx_ref[g * G + k]
+        pltpu.make_async_copy(
+            table_ref.at[pl.ds(row, 1)], scratch.at[pl.ds(k, 1)], sem.at[k]
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, G, wait, 0)
+    out_ref[:, :] = scratch[:, :]
+
+
+@partial(jax.jit, static_argnames=("group", "interpret"))
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, group: int = 128,
+                interpret: bool = False) -> jnp.ndarray:
+    """table (C, W) float32, idx (N,) int32 with N % group == 0.
+    Returns (N, W) = table[idx]."""
+    n = idx.shape[0]
+    w = table.shape[1]
+    assert n % group == 0, (n, group)
+    grid = n // group
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (group, w), lambda g, idx_ref: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((group, w), table.dtype),
+                pltpu.SemaphoreType.DMA((group,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, w), table.dtype),
+        interpret=interpret,
+    )(idx, table)

@@ -50,3 +50,14 @@ def test_degenerate_isotropic():
     E = np.asarray(evecs)
     eye = np.broadcast_to(np.eye(3), E.shape)
     np.testing.assert_allclose(np.swapaxes(E, -1, -2) @ E, eye, atol=1e-3)
+
+
+def test_pallas_gather_rows_exact():
+    """DMA row-gather kernel (interpret mode) matches table[idx]."""
+    from fast_livo2_tpu.ops.pallas_gather import gather_rows
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(2048, 128)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 2048, 512).astype(np.int32))
+    out = gather_rows(table, idx, group=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table)[np.asarray(idx)])
