@@ -141,7 +141,10 @@ def lio_update(
         return (~stop) & (it < max_iterations)
 
     def body(carry):
-        it, state, stop, rematch, G_keep, _ = carry
+        # NOTE: under jax.vmap a while_loop body keeps running for batch
+        # elements whose cond is already false — every update below must
+        # therefore be masked by the carried stop flag.
+        it, state, stop, rematch, G_keep, last_match_c = carry
         pts_w = pts_imu @ state.rot.T + state.pos
         var_w = (
             jnp.einsum("ij,njk,lk->nil", state.rot, body_cov, state.rot)
@@ -173,16 +176,22 @@ def lio_update(
         G = jnp.zeros((DIM_STATE, DIM_STATE), f32).at[:, 0:6].set(K_1[:, 0:6] @ HTH6)
         vec = boxminus(state_prop, state)
         solution = K_1[:, 0:6] @ HTz6 + vec - G[:, 0:6] @ vec[0:6]
-        state = boxplus(state, solution)
+        active = ~stop
+        state_new = boxplus(state, solution)
+        state = jax.tree.map(lambda a, b: jnp.where(active, b, a), state, state_new)
+        G = jnp.where(active, G, G_keep)
+        match = jax.tree.map(lambda a, b: jnp.where(active, b, a),
+                             last_match_c, match)
 
         rot_add = jnp.linalg.norm(solution[0:3])
         t_add = jnp.linalg.norm(solution[3:6])
         converged = (rot_add * 57.3 < 0.01) & (t_add * 100.0 < 0.015)  # :477
         inc = jnp.where(
-            converged | ((rematch == 0) & (it == max_iterations - 2)), 1, 0
+            active & (converged | ((rematch == 0) & (it == max_iterations - 2))),
+            1, 0,
         )
         rematch = rematch + inc
-        stop = (rematch >= 2) | (it == max_iterations - 1)
+        stop = stop | (rematch >= 2) | (it == max_iterations - 1)
         return (it + 1, state, stop, rematch, G, match)
 
     init = (jnp.asarray(0, jnp.int32), state_prop, jnp.asarray(False),

@@ -492,8 +492,11 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
 
             # Accept/rollback rule (:1648-1681): on improvement save the
             # pre-update state and apply the solution; otherwise revert to
-            # the saved state (undo the previous update) and stop.
-            accept = error <= last_error
+            # the saved state (undo the previous update) and stop. Masked
+            # by the carried stop flag: under jax.vmap the while body
+            # keeps running for already-converged batch elements.
+            active = ~stop
+            accept = active & (error <= last_error)
             new_state = boxplus(state, sol)
             old_state, state = (
                 jax.tree.map(lambda old, cur: jnp.where(accept, cur, old),
@@ -507,7 +510,7 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
             G_keep = jnp.where(accept, G, G_keep)
             final_err = jnp.where(accept, error, final_err)
             last_error = jnp.where(accept, error, last_error)
-            stop = ~accept | converged
+            stop = stop | ~accept | converged
             return (it + 1, state, old_state, last_error, stop, G_keep, final_err)
 
         def iter_cond(carry):
