@@ -84,6 +84,21 @@ def main():
 
     est = [(t, p) for t, R, p in traj]
     rmse = synthetic.ate_rmse(est, seq.gt)
+
+    extra = {}
+    bsz = int(os.environ.get("BENCH_BATCH", "0"))
+    if bsz > 1:
+        from fast_livo2_tpu.parallel.batch import BatchedPipeline
+
+        bp = BatchedPipeline(cfg, batch=bsz, slam_mode=mode)
+        bp.process([seq] * bsz, block_each=True)
+        bwarm = min(6, len(bp.frame_times) // 3)
+        bt = bp.frame_times[bwarm:]
+        bfps = bsz / float(np.mean(bt))
+        extra["batched_fps_per_chip"] = round(bfps, 2)
+        extra["batch"] = bsz
+        log(f"[bench] batched B={bsz}: {np.mean(bt)*1e3:.1f} ms/step -> "
+            f"{bfps:.1f} frames/s/chip aggregate")
     log(f"[bench] {n} frames, total {total:.1f}s (incl. compile), "
         f"steady {np.mean(per_frame) * 1e3:.1f} ms/frame, ATE {rmse:.3f} m")
 
@@ -94,6 +109,7 @@ def main():
         "vs_baseline": round(fps / 10.0, 3),
         "ate_rmse_m": round(rmse, 4),
         "frames": n,
+        **extra,
     }))
 
 

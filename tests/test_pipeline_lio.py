@@ -63,3 +63,26 @@ def test_only_lo_mode_runs():
     est = [(t, p) for t, R, p in traj]
     rmse = synthetic.ate_rmse(est, seq.gt)
     assert rmse < 0.5, f"LO ATE RMSE {rmse:.3f} m"
+
+
+def test_sensor_dropout_robustness():
+    """Empty LiDAR packets (sensor dropout) must not corrupt the filter:
+    the update degrades to pure propagation (the reference's empty-cloud
+    guards, LIVMapper.cpp:343-347)."""
+    seq = synthetic.make_sequence(
+        duration=3.0, lidar_hz=10.0, imu_hz=200.0, seed=4,
+        n_lines=12, n_per_line=500, render=False, fov_deg=360.0,
+    )
+    # drop all scans in a 0.5 s window mid-sequence
+    seq.scans = [
+        (t, p, o) if not (1.5 < t < 2.0)
+        else (t, p[:0], o[:0])
+        for t, p, o in seq.scans
+    ]
+    pipe = LIVOPipeline(small_config(), slam_mode="only_lio")
+    traj = pipe.process(seq)
+    p_arr = np.array([p for _, _, p in traj])
+    assert np.isfinite(p_arr).all()
+    est = [(t, p) for t, R, p in traj]
+    rmse = synthetic.ate_rmse(est, seq.gt)
+    assert rmse < 0.12, f"dropout ATE {rmse:.3f}"
