@@ -111,6 +111,8 @@ class VoxelMapConfig(NamedTuple):
     n_layers: int = 3  # reference max_layer=2 -> layers 0..2
     capacity_log2: int = 18
     probes: int = 8
+    insert_probes: int = 6  # claim rounds for new keys; lookups still
+    # scan the full probe window, so short-window inserts stay findable
     planner_threshold: float = 0.0025  # min_eigen_value
     sigma_num: float = 3.0
     layer_init_num: Sequence[int] = (5, 5, 5, 5, 5)
@@ -166,10 +168,12 @@ def _lookup_window(keys_tab, keys, probes: int):
     return slot, found
 
 
-def _insert(keys_tab, keys, valid, probes: int):
+def _insert(keys_tab, keys, valid, probes: int, insert_probes: int = None):
     """Find-or-claim slots (race-free batched insert; claim protocol:
     scatter-max lane tickets per probe round). All scatters write full
-    rows of the (C, 3) key table. Returns (keys_tab, slot (N,))."""
+    rows of the (C, 3) key table; the claim loop runs `insert_probes`
+    rounds (new keys are a few percent of a steady frame — hits resolve
+    in the single windowed lookup). Returns (keys_tab, slot (N,))."""
     C = keys_tab.shape[0]
     n = keys.shape[0]
     h = _bucket(keys, C)
@@ -181,7 +185,7 @@ def _insert(keys_tab, keys, valid, probes: int):
     slot_out = jnp.where(found0, slot0, slot_out)
     unresolved = valid & ~found0
 
-    for j in range(probes):
+    for j in range(insert_probes or probes):
         s = jnp.bitwise_and(h + j, C - 1)
         tk = keys_tab[s]
         found = jnp.all(tk == keys, axis=-1)
@@ -208,7 +212,8 @@ def _update_layer_one(keys_tab, cnt, rec, stats, pts_w, var_w6, valid, vsize,
     one batched closed-form eigendecomposition."""
     C = cnt.shape[0]
     keys = jnp.floor(pts_w / vsize).astype(jnp.int32)
-    keys_tab, slots = _insert(keys_tab, keys, valid, cfg.probes)
+    keys_tab, slots = _insert(keys_tab, keys, valid, cfg.probes,
+                              cfg.insert_probes)
 
     ok = valid & (slots >= 0)
     s = jnp.where(ok, slots, 0)
@@ -490,7 +495,9 @@ def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
         occupied = keys_tab[:, 0] != EMPTY
         keep = occupied & jnp.all(jnp.abs(keys_tab - ctr) <= half, axis=-1)
         fresh = jnp.full((C, 3), EMPTY, jnp.int32)
-        fresh, new_slots = _insert(fresh, keys_tab, keep, cfg.probes)
+        # full probe window here: the rebuild reinserts every key at once
+        fresh, new_slots = _insert(fresh, keys_tab, keep, cfg.probes,
+                                   cfg.probes)
         dst = jnp.where(keep & (new_slots >= 0), new_slots, C)
 
         def move(arr):
