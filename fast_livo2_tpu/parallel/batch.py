@@ -53,7 +53,7 @@ class BatchedPipeline:
                     diag)
 
         self._vstep = jax.jit(
-            jax.vmap(one, in_axes=(0,) * 14 + (None, None, None),
+            jax.vmap(one, in_axes=(0,) * 15 + (None, None),
                      out_axes=0),
             static_argnums=(15, 16),
             donate_argnums=tuple(range(1, 11)),
