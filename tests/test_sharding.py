@@ -99,9 +99,9 @@ def test_sharded_map_update_consistent():
     keys = vm.voxel_hash.voxel_key(pts, cfg.voxel_size)
     s_ref = np.asarray(vm.voxel_hash.lookup(vm.voxel_hash.HashTable(keys=vm.map_keys(ref, 0)), keys))
     s_out = np.asarray(vm.voxel_hash.lookup(vm.voxel_hash.HashTable(keys=vm.map_keys(out, 0)), keys))
-    assert (s_ref >= 0).mean() > 0.995
+    assert (s_ref >= 0).mean() > 0.99
     found = (s_ref >= 0) & (s_out >= 0)
-    assert found.mean() > 0.995
+    assert found.mean() > 0.99
     np.testing.assert_array_equal(
         np.asarray((vm.map_count(ref, 0)))[s_ref[found]],
         np.asarray((vm.map_count(out, 0)))[s_out[found]],
