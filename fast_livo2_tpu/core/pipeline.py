@@ -169,6 +169,10 @@ class LIVOPipeline:
         # Colored world-map accumulation (pcd_save, LIVMapper.cpp:484-532)
         self.pcd_accumulate = cfg.pcd_save.pcd_save_en
         self._cloud_chunks: List = []
+        # Keyframe collection for the sliding-window refinement backend
+        # (parallel/ba.py) — body-frame downsampled scans + poses.
+        self.keyframe_every = 0  # frames between keyframes; 0 = off
+        self._keyframes: List = []
         # Local-map sliding (mapSliding, voxel_map.cpp:924-948)
         self._slide_jit = jax.jit(
             lambda m, c: vmap_mod.slide_map(
@@ -477,6 +481,8 @@ class LIVOPipeline:
             # Keep device arrays; converting here would force a blocking
             # device sync per frame (costly over a remote TPU link).
             self.trajectory.append((t_ev, self.packed))
+            if self.keyframe_every and (self.frame_id - 1) % self.keyframe_every == 0:
+                self._keyframes.append((t_ev, self.packed, pts_pack))
             self.log.add(
                 t=t_ev, t_wall=time.perf_counter(),
                 lio_s=time.perf_counter() - t_frame0, vio_s=0.0,
@@ -550,3 +556,38 @@ class LIVOPipeline:
         pool_valid = np.asarray(vio_mod.pool_point_valid(self.pool))
         pts3d = np.asarray(vio_mod.pool_pos(self.pool))[pool_valid]
         export_mod.write_colmap(out_dir, self.cam, frames, points3d=pts3d)
+
+    def refine_trajectory(self, outer_iters: int = 2, gn_iters: int = 3,
+                          max_keyframes: int = 32, kf_points: int = 4096,
+                          mesh=None):
+        """Post-run sliding-window refinement (parallel/ba.py): rebuild a
+        consensus map from the collected keyframes and polish their poses.
+        Enable collection with `pipeline.keyframe_every = N` before
+        process(). Returns [(t, R, p)] refined keyframe poses."""
+        from ..parallel import ba
+
+        assert self._keyframes, "set keyframe_every before process()"
+        kfs = self._keyframes[-max_keyframes:]
+        import jax as _jax
+
+        rots, poss, scans, valids, ts = [], [], [], [], []
+        for t_ev, packed, pts_pack in kfs:
+            st, _ = unpack_state(packed)
+            rots.append(st.rot)
+            poss.append(st.pos)
+            # undistorted body points are not retained; the raw packet is a
+            # good stand-in at keyframe rates (distortion << voxel size)
+            scans.append(pts_pack[:kf_points, 0:3])
+            valids.append(pts_pack[:kf_points, 4] > 0.5)
+            ts.append(t_ev)
+        window = ba.Window(
+            rot=jnp.stack(rots), pos=jnp.stack(poss),
+            scans=jnp.stack(scans), valid=jnp.stack(valids),
+        )
+        refined, n_used = ba.refine_window(
+            window, self.map_cfg, outer_iters=outer_iters, gn_iters=gn_iters,
+            mesh=mesh,
+        )
+        R_np = np.asarray(refined.rot)
+        p_np = np.asarray(refined.pos)
+        return [(t, R_np[i], p_np[i]) for i, t in enumerate(ts)]

@@ -136,3 +136,27 @@ def test_window_refinement_sharded_matches():
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(out.rot), np.asarray(ref.rot),
                                atol=5e-4)
+
+
+def test_pipeline_refine_trajectory():
+    """End-to-end: keyframes collected during a run refine to poses close
+    to (or better than) the filter estimates."""
+    from fast_livo2_tpu.core.pipeline import LIVOPipeline
+    from fast_livo2_tpu.io import synthetic
+    from tests.test_pipeline_lio import small_config
+
+    seq = synthetic.make_sequence(duration=2.5, lidar_hz=10.0, imu_hz=200.0,
+                                  seed=9, n_lines=12, n_per_line=500,
+                                  render=False, fov_deg=360.0)
+    pipe = LIVOPipeline(small_config(), slam_mode="only_lio")
+    pipe.keyframe_every = 2
+    pipe.process(seq)
+    refined = pipe.refine_trajectory(outer_iters=1, gn_iters=2)
+    assert len(refined) >= 5
+    gt_t = np.array([g[0] for g in seq.gt])
+    gt_p = np.array([g[2] for g in seq.gt])
+    errs = []
+    for t, R, p in refined:
+        i = np.clip(np.searchsorted(gt_t, t), 1, len(gt_t) - 1)
+        errs.append(np.linalg.norm(p - gt_p[i]))
+    assert np.mean(errs) < 0.1, np.mean(errs)
