@@ -108,6 +108,7 @@ class LIVOPipeline:
             outlier_threshold=cfg.vio.outlier_threshold,
             exposure_estimate_en=cfg.vio.exposure_estimate_en,
             raycast_en=cfg.vio.raycast_en,
+            inverse_composition_en=cfg.vio.inverse_composition_en,
         )
         ext = cfg.extrin_calib
         self.ext_R = jnp.asarray(np.array(ext.extrinsic_R, np.float32).reshape(3, 3))

@@ -94,6 +94,7 @@ class VIOConfig(NamedTuple):
     ncc_en: bool = False
     ncc_thre: float = 0.0
     raycast_en: bool = False
+    inverse_composition_en: bool = False
     # map maintenance
     select_obs_gap_p: float = 0.5  # delta_p threshold (:939)
     select_obs_gap_theta: float = 0.3
@@ -200,6 +201,7 @@ class Submap(NamedTuple):
     warp_patch: jnp.ndarray  # (M, L, patch²) warped reference patches
     ref_expo: jnp.ndarray  # (M,)
     propa_error: jnp.ndarray  # (M,) pre-update photometric error
+    ref_meta: jnp.ndarray  # (M, 15) [px(2) | R_cw(9) | t(3) | ring slot]
 
 
 def rasterize_depth(cam: cam_mod.Camera, Rcw, Pcw, pg_w, pg_valid, border):
@@ -414,6 +416,10 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
         )
         sel = sel & (ncc >= cfg.ncc_thre)
 
+    ref_meta = jnp.concatenate(
+        [sel_ref_obs[:, _O_PX], sel_ref_obs[:, _O_R], sel_ref_obs[:, _O_T],
+         sel_ref_obs[:, _O_SLOT:_O_SLOT + 1]], axis=-1,
+    )
     submap = Submap(
         valid=sel,
         point_idx=pidx,
@@ -422,6 +428,7 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
         warp_patch=warp,
         ref_expo=ref_expo,
         propa_error=err0,
+        ref_meta=ref_meta,
     )
     return submap, pool
 
@@ -495,6 +502,120 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
             # the saved state (undo the previous update) and stop. Masked
             # by the carried stop flag: under jax.vmap the while body
             # keeps running for already-converged batch elements.
+            active = ~stop
+            accept = active & (error <= last_error)
+            new_state = boxplus(state, sol)
+            old_state, state = (
+                jax.tree.map(lambda old, cur: jnp.where(accept, cur, old),
+                             old_state, state),
+                jax.tree.map(lambda old, new: jnp.where(accept, new, old),
+                             old_state, new_state),
+            )
+            rot_add = jnp.linalg.norm(sol[0:3])
+            t_add = jnp.linalg.norm(sol[3:6])
+            converged = (rot_add * 57.3 < 0.001) & (t_add * 100.0 < 0.001)
+            G_keep = jnp.where(accept, G, G_keep)
+            final_err = jnp.where(accept, error, final_err)
+            last_error = jnp.where(accept, error, last_error)
+            stop = stop | ~accept | converged
+            return (it + 1, state, old_state, last_error, stop, G_keep, final_err)
+
+        def iter_cond(carry):
+            it, stop = carry[0], carry[4]
+            return (~stop) & (it < cfg.max_iterations)
+
+        init = (jnp.asarray(0, jnp.int32), state, state, jnp.asarray(3e38, f32),
+                jnp.asarray(False), G_keep, final_err)
+        (_, state, _, _, _, G_keep, final_err) = jax.lax.while_loop(
+            iter_cond, iter_body, init
+        )
+
+    cov = cov_prop - G_keep @ cov_prop
+    return state, cov, final_err
+
+
+@hi_precision
+def photometric_update_ic(state_prop: NavState, cov_prop, submap: Submap,
+                          img, ring: FrameRing, cam: cam_mod.Camera, Rci, Pci,
+                          cfg: VIOConfig):
+    """Inverse-compositional variant of the photometric update
+    (precomputeReferencePatches + updateStateInverse,
+    vio.cpp:1327-1518): per-pixel Jacobians are precomputed once per
+    pyramid level from the *reference* image's gradients, so each
+    iteration only samples current-image values (no gradients) and
+    composes the cached 6-dof Jacobian with the current rotation
+    (:1470-1474). Like the reference, this path is 6-dof (no exposure
+    column) and uses plain pyramid scales (no per-point search level)."""
+    f32 = cov_prop.dtype
+    ps = cfg.patch_size
+    M = submap.valid.shape[0]
+
+    cov_sym = 0.5 * (cov_prop + cov_prop.T)
+    P_scaled_inv = jnp.linalg.inv(cov_sym / cfg.img_point_cov)
+    n_meas = jnp.maximum(jnp.sum(submap.valid) * ps * ps, 1).astype(f32)
+
+    ref_px = submap.ref_meta[:, 0:2]
+    R_ref_w = submap.ref_meta[:, 2:11].reshape(M, 3, 3)
+    t_ref = submap.ref_meta[:, 11:14]
+    slot = jnp.clip(submap.ref_meta[:, 14].astype(jnp.int32), 0,
+                    cfg.frame_ring - 1)
+    # pf in the ref camera: f_ref * depth (:1350-1352)
+    f_ref = cam_mod.cam2world(cam, ref_px)
+    ref_cam_center = -jnp.einsum("mji,mj->mi", R_ref_w, t_ref)
+    depth = jnp.linalg.norm(submap.pos - ref_cam_center, axis=-1)
+    pf_ref = f_ref * (depth / jnp.maximum(f_ref[:, 2], 1e-6))[:, None]
+    p_w_hat = so3.skew(submap.pos)
+
+    state = state_prop
+    G_keep = jnp.zeros((DIM_STATE, DIM_STATE), f32)
+    final_err = jnp.asarray(0.0, f32)
+
+    for level in reversed(range(cfg.pyramid_levels)):
+        scale = jnp.full((M,), 1 << level, jnp.int32)  # (:1440)
+        inv_scale = 1.0 / float(1 << level)
+        ref = submap.warp_patch[:, level, :]
+
+        # --- precompute reference Jacobians (:1341-1394) ---
+        _, du_r, dv_r = img_ops.sample_patches_with_grad(
+            ring.imgs, ref_px, scale, ps, img_idx=slot
+        )
+        Jimg_r = jnp.stack([du_r, dv_r], axis=-1) * inv_scale  # (M, ps², 2)
+        Jdpi_r = cam_mod.projection_jacobian(cam, pf_ref)  # (M, 2, 3)
+        JR = jnp.einsum("mpi,mij,mjk->mpk", Jimg_r, Jdpi_r, R_ref_w)
+        JdR0 = jnp.einsum("mpi,mij->mpj", JR, p_w_hat)  # (M, ps², 3)
+        Jdt0 = -JR
+
+        def iter_body(carry, scale=scale, ref=ref, JdR0=JdR0, Jdt0=Jdt0):
+            it, state, old_state, last_error, stop, G_keep, final_err = carry
+            Rcw, Pcw = camera_pose(state, Rci, Pci)
+            pf = submap.pos @ Rcw.T + Pcw
+            px = cam_mod.world2cam(cam, pf)
+            ok = submap.valid & (pf[:, 2] > 1e-6)
+            val = img_ops.sample_patches(img, px, scale, ps)
+            res = val - ref
+
+            Rwi = state.rot
+            Pwi_hat = so3.skew(state.pos)
+            # JdR = J_dR Rwi + J_dt [Pwi]x Rwi ; Jdt = J_dt Rwi (:1472-1473)
+            JdR = jnp.einsum("mpi,ij->mpj", JdR0, Rwi) + jnp.einsum(
+                "mpi,ij,jk->mpk", Jdt0, Pwi_hat, Rwi
+            )
+            Jdt = jnp.einsum("mpi,ij->mpj", Jdt0, Rwi)
+            H = jnp.concatenate([JdR, Jdt], axis=-1)  # (M, ps², 6)
+
+            w = ok.astype(f32)[:, None]
+            error = jnp.sum(w * res * res) / n_meas
+
+            HTH6 = jnp.einsum("mpi,mpj,m->ij", H, H, ok.astype(f32))
+            HTz6 = jnp.einsum("mpi,mp,m->i", H, res, ok.astype(f32))
+            HTH = jnp.zeros((DIM_STATE, DIM_STATE), f32).at[0:6, 0:6].set(HTH6)
+            K_1 = jnp.linalg.inv(HTH + P_scaled_inv)
+            G = jnp.zeros((DIM_STATE, DIM_STATE), f32).at[:, 0:6].set(
+                K_1[:, 0:6] @ HTH6
+            )
+            vec = boxminus(state_prop, state)
+            sol = -K_1[:, 0:6] @ HTz6 + vec - G[:, 0:6] @ vec[0:6]
+
             active = ~stop
             accept = active & (error <= last_error)
             new_state = boxplus(state, sol)
@@ -840,9 +961,14 @@ def vio_step(state_prop: NavState, cov_prop, pool: VisualPool, ring: FrameRing,
     submap, pool = retrieve(pool, ring, img, depth_img, state_prop, cam, Rci, Pci, cfg)
     n_tracked = jnp.sum(submap.valid.astype(jnp.int32))
 
-    state, cov, mean_err = photometric_update(
-        state_prop, cov_prop, submap, img, cam, Rci, Pci, cfg
-    )
+    if cfg.inverse_composition_en:
+        state, cov, mean_err = photometric_update_ic(
+            state_prop, cov_prop, submap, img, ring, cam, Rci, Pci, cfg
+        )
+    else:
+        state, cov, mean_err = photometric_update(
+            state_prop, cov_prop, submap, img, cam, Rci, Pci, cfg
+        )
 
     if cfg.raycast_en and ray_table is not None:
         from ..ops import voxel_hash

@@ -53,11 +53,13 @@ def sample_patches(img: jnp.ndarray, px: jnp.ndarray, scale: jnp.ndarray,
 
 
 def _superpatch(img: jnp.ndarray, px: jnp.ndarray, scale: jnp.ndarray,
-                size: int, lo: int):
+                size: int, lo: int, img_idx=None):
     """One fused gather of an s-strided (size x size) neighborhood per
     point: SP[n, l, k] = img(y0 + (l+lo)*s, x0 + (k+lo)*s). Replaces the
     4-gathers-per-bilinear pattern — the photometric iteration was
-    dispatch-bound on ~20 small gathers, not bandwidth."""
+    dispatch-bound on ~20 small gathers, not bandwidth.
+
+    img may be a stack (F, H, W) with per-point indices `img_idx` (N,)."""
     u, v = px[:, 0], px[:, 1]
     s = scale.astype(jnp.float32)
     ui = (jnp.floor(u / s) * s).astype(jnp.int32)
@@ -65,22 +67,25 @@ def _superpatch(img: jnp.ndarray, px: jnp.ndarray, scale: jnp.ndarray,
     su = (u.astype(jnp.float32) - ui) / s
     sv = (v.astype(jnp.float32) - vi) / s
     rng = (jnp.arange(size, dtype=jnp.int32) + lo)[None, :] * scale[:, None]
-    h, w = img.shape
+    h, w = img.shape[-2:]
     xi = jnp.clip(ui[:, None] + rng, 0, w - 1)  # (N, size)
     yi = jnp.clip(vi[:, None] + rng, 0, h - 1)
-    sp = img[yi[:, :, None], xi[:, None, :]]  # (N, size, size)
+    if img_idx is None:
+        sp = img[yi[:, :, None], xi[:, None, :]]  # (N, size, size)
+    else:
+        sp = img[img_idx[:, None, None], yi[:, :, None], xi[:, None, :]]
     return sp, su, sv
 
 
 def sample_patches_with_grad(img: jnp.ndarray, px: jnp.ndarray, scale: jnp.ndarray,
-                             patch_size: int):
+                             patch_size: int, img_idx=None):
     """Patch values + strided central-difference gradients (du, dv), the
     hot sampling of updateState (vio.cpp:1595-1620). Returns three
     (N, patch²) arrays; gradients are in *scaled* pixel units (the 1/scale
     factor of :1613 is applied by the caller's Jacobian chain)."""
     ps, half = patch_size, patch_size // 2
     size = ps + 4  # offsets -half-1 .. half+2 relative to the base corner
-    sp, su, sv = _superpatch(img, px, scale, size, lo=-half - 1)
+    sp, su, sv = _superpatch(img, px, scale, size, lo=-half - 1, img_idx=img_idx)
     w_tl = ((1 - su) * (1 - sv))[:, None, None]
     w_tr = (su * (1 - sv))[:, None, None]
     w_bl = ((1 - su) * sv)[:, None, None]

@@ -141,3 +141,22 @@ def test_livo_with_raycast_runs():
     assert len(traj) >= 8
     p = np.array([p for _, _, p in traj])
     assert np.isfinite(p).all() and np.abs(p).max() < 10
+
+
+def test_livo_inverse_composition_variant():
+    """inverse_composition_en path (updateStateInverse equivalents): the
+    6-dof IC update must track the synthetic sequence comparably."""
+    cam = cam_mod.make_camera(small_cam_cfg())
+    seq = synthetic.make_sequence(
+        duration=2.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
+        seed=6, n_lines=12, n_per_line=500, render=True, fov_deg=360.0,
+    )
+    cfg = livo_config()
+    cfg.vio.inverse_composition_en = True
+    pipe = LIVOPipeline(cfg, slam_mode="livo")
+    traj = pipe.process(seq)
+    est = [(t, p) for t, R, p in traj]
+    rmse = synthetic.ate_rmse(est, seq.gt)
+    assert rmse < 0.08, f"IC ATE {rmse:.3f}"
+    tracked = [r.get("n_tracked", 0) for r in pipe.log.rows[3:]]
+    assert np.mean(tracked) > 20
