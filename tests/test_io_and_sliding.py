@@ -133,3 +133,27 @@ def test_surf_feature_extraction():
     k_jag = extract_surf_features(jag.astype(np.float32), offs)
     assert k_wall.mean() > 0.9
     assert k_jag.mean() < 0.3
+
+
+def test_tsdf_fusion_and_surface(tmp_path):
+    """TSDF integration of synthetic plane clouds recovers the surface."""
+    from fast_livo2_tpu.io import tsdf
+
+    rng = np.random.default_rng(0)
+    vol = tsdf.make_volume(center=[0, 0, 0], side=4.0, grid=64)
+    sensor = jnp.asarray([0.0, 0.0, 0.0])
+    # wall at x = 1.5, sampled from the origin
+    for _ in range(3):
+        yz = rng.uniform(-1.2, 1.2, size=(2000, 2)).astype(np.float32)
+        pts = np.column_stack([np.full(2000, 1.5, np.float32), yz])
+        pts += rng.normal(size=pts.shape).astype(np.float32) * 0.004
+        vol = tsdf.integrate(vol, jnp.asarray(pts), jnp.ones(2000, bool), sensor)
+    pts_s, nrm_s = tsdf.extract_surface(vol, min_weight=2.0)
+    assert len(pts_s) > 200
+    inner = pts_s[(np.abs(pts_s[:, 1]) < 1.0) & (np.abs(pts_s[:, 2]) < 1.0)]
+    assert np.abs(inner[:, 0] - 1.5).mean() < 0.08
+    # normals roughly along x
+    assert np.abs(nrm_s[:, 0]).mean() > 0.8
+    p = str(tmp_path / "surf.ply")
+    tsdf.write_ply(p, pts_s, nrm_s)
+    assert open(p).readline().strip() == "ply"
