@@ -25,6 +25,9 @@ import numpy as np
 # numbers (the async drain-at-end measure conflates compile/queue tails).
 # Must be set before the pipeline module is imported.
 os.environ.setdefault("FLV_BLOCK", "1")
+# Persistent compile cache: repeat bench runs (and any prior warm-up on
+# this machine) skip the multi-minute remote TPU compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
 def log(*a):
