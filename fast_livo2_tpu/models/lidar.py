@@ -178,3 +178,111 @@ def extract_surf_features(pts: np.ndarray, offs: np.ndarray,
     keep[order] = km
     keep &= (pts * pts).sum(-1) > blind * blind
     return keep
+
+
+def extract_edge_features(pts: np.ndarray, offs: np.ndarray,
+                          ring: np.ndarray = None, blind: float = 0.8,
+                          inf_bound: float = 10.0, edgea: float = 2.0,
+                          edgeb: float = 0.1):
+    """LOAM-style edge/jump corner selection, vectorized (the reference's
+    Edge_Jump classification in give_feature, preprocess.cpp:858-915 +
+    edge_jump_judge :1099-1126; default-off like the surf path — the LIO
+    filter consumes surf points only, corners exist for tooling parity).
+
+    Behavior captured: each in-ring point classifies both neighbors by
+    the cosine between its own ray and the neighbor chord — near 180°
+    means the neighbor jumps toward the sensor, near 0° away; a point is
+    an edge when one side is a regular surface and the other jumps (or
+    leaves the ring past `inf_bound`), the jump gap dominates the local
+    spacing (>0.15 m and 4x the far-side spacing), the two chords are not
+    collinear (occlusion check, >cos160°), and the two spacings *behind*
+    the regular side are mutually consistent (d1 <= edgea*d2 and
+    d1-d2 <= edgeb — a real corner sits on a clean scan line, not noise).
+
+    Returns a boolean edge mask over pts.
+    """
+    n = len(pts)
+    if n < 7:
+        return np.zeros(n, bool)
+    if ring is None:
+        ring = np.zeros(n, np.int32)
+    order = np.lexsort((offs, ring))
+    p = pts[order].astype(np.float64)
+    r = ring[order]
+    rng = np.linalg.norm(p, axis=-1)
+
+    # consecutive spacing^2 dista[i] = |p[i+1]-p[i]|^2 (invalid across rings)
+    dista = np.full(n, np.inf)
+    dd = p[1:] - p[:-1]
+    dista[:-1] = (dd * dd).sum(-1)
+    dista[:-1][r[1:] != r[:-1]] = np.inf
+
+    def shift(a, k, fill):
+        out = np.full(a.shape, fill, dtype=a.dtype if a.dtype != bool else bool)
+        if k > 0:
+            out[k:] = a[:-k]
+        elif k < 0:
+            out[:k] = a[-k:]
+        else:
+            out = a.copy()
+        return out
+
+    NOR, ZERO, N180, INF, BLIND = 0, 1, 2, 3, 4
+    cos170 = np.cos(np.deg2rad(170.0))
+    cos8 = np.cos(np.deg2rad(8.0))
+    cos160 = np.cos(np.deg2rad(160.0))
+
+    def classify(m):  # m = -1 (Prev) or +1 (Next)
+        q = shift(p, -m, 0.0) if m > 0 else shift(p, 1, 0.0)
+        same = shift(r, -m, -1) == r
+        vec = q - p
+        nv = np.linalg.norm(vec, axis=-1)
+        cosang = (p * vec).sum(-1) / np.maximum(rng * nv, 1e-12)
+        nb_rng = np.linalg.norm(q, axis=-1)
+        cls = np.full(n, NOR, np.int32)
+        cls[cosang < cos170] = N180
+        cls[cosang > cos8] = ZERO
+        nb_blind = (nb_rng < blind) | ~same
+        cls[nb_blind & (rng > inf_bound)] = INF
+        cls[nb_blind & (rng <= inf_bound)] = BLIND
+        return cls, vec
+
+    cprev, vprev = classify(-1)
+    cnext, vnext = classify(+1)
+    inter = (vprev * vnext).sum(-1) / np.maximum(
+        np.linalg.norm(vprev, axis=-1) * np.linalg.norm(vnext, axis=-1), 1e-12
+    )
+
+    d_im2, d_im1 = shift(dista, 2, np.inf), shift(dista, 1, np.inf)
+    d_i, d_ip1 = dista, shift(dista, -1, np.inf)
+    r_ok = rng >= blind
+
+    def judge(nor_dir):
+        """edge_jump_judge: the two spacings behind the regular side must
+        be mutually consistent."""
+        if nor_dir == 0:  # Prev side regular
+            ok = (shift(rng, 1, 0.0) >= blind) & (shift(rng, 2, 0.0) >= blind)
+            a, b = d_im1, d_im2
+        else:  # Next side regular
+            ok = (shift(rng, -1, 0.0) >= blind) & (shift(rng, -2, 0.0) >= blind)
+            a, b = d_i, d_ip1
+        d1 = np.sqrt(np.minimum(np.maximum(a, b), 1e18))
+        d2 = np.sqrt(np.minimum(np.minimum(a, b), 1e18))
+        fin = np.isfinite(a) & np.isfinite(b)
+        return ok & fin & (d1 <= edgea * d2) & (d1 - d2 <= edgeb)
+
+    jp, jn = judge(0), judge(1)
+    edge = (
+        ((cprev == NOR) & (cnext == ZERO) & (d_i > 0.0225)
+         & (d_i > 4 * d_im1) & (inter > cos160) & jp)
+        | ((cprev == ZERO) & (cnext == NOR) & (d_im1 > 0.0225)
+           & (d_im1 > 4 * d_i) & (inter > cos160) & jn)
+        | ((cprev == NOR) & (cnext == INF) & jp)
+        | ((cprev == INF) & (cnext == NOR) & jn)
+    ) & r_ok
+    # ring boundaries (first/last 3 per ring) are never edges
+    for k in (1, 2, 3):
+        edge &= (shift(r, k, -1) == r) & (shift(r, -k, -1) == r)
+    out = np.zeros(n, bool)
+    out[order] = edge
+    return out

@@ -157,3 +157,23 @@ def test_tsdf_fusion_and_surface(tmp_path):
     p = str(tmp_path / "surf.ply")
     tsdf.write_ply(p, pts_s, nrm_s)
     assert open(p).readline().strip() == "ply"
+
+
+def test_edge_feature_extraction():
+    """Edge_Jump classification (preprocess.cpp:858-915): a range jump
+    along the scan line marks the near-side corner point; a smooth wall
+    yields no edges."""
+    from fast_livo2_tpu.models.lidar import extract_edge_features
+
+    n = 400
+    ang = np.linspace(-0.6, 0.6, n)
+    pts = []
+    for a in ang:
+        d = np.array([np.sin(a), np.cos(a), 0.0])
+        y = 3.0 if a < 0 else 1.5  # wall jump at the sweep midpoint
+        pts.append(d * (y / d[1]))
+    pts = np.asarray(pts)
+    offs = np.arange(n, dtype=np.float64)
+    edges = np.where(extract_edge_features(pts, offs))[0]
+    assert len(edges) >= 1 and all(abs(i - n // 2) < 4 for i in edges)
+    assert extract_edge_features(pts[: n // 2], offs[: n // 2]).sum() == 0
