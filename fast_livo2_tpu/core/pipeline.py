@@ -224,9 +224,16 @@ class LIVOPipeline:
             )
             und = imu_mod.undistort(pts, t_offs, poses, state_prop,
                                     self.ext_R, self.ext_T)
-        down, down_valid = lio_mod.voxel_downsample(
-            und, valid, cfg.preprocess.filter_size_surf, cfg.tpu.max_points_down
-        )
+        if "und" in _SKIP:  # perf bisection: scan-end frame, no motion comp
+            und = pts
+        if "down" in _SKIP:  # perf bisection: head-truncate instead of voxel grid
+            down = und[: cfg.tpu.max_points_down]
+            down_valid = valid[: cfg.tpu.max_points_down]
+        else:
+            down, down_valid = lio_mod.voxel_downsample(
+                und, valid, cfg.preprocess.filter_size_surf,
+                cfg.tpu.max_points_down,
+            )
         if first:
             # BuildVoxelMap with the prior state (LIVMapper.cpp:362-366).
             body_cov = lio_mod.calc_body_cov(down, cfg.lio.dept_err, cfg.lio.beam_err)
@@ -542,6 +549,52 @@ class LIVOPipeline:
                 out[i, 12:15] = r[18:21] # bias_a
                 out[i, 15] = r[24]       # inv exposure
             np.savetxt(path, np.column_stack([ts, out]), fmt="%.6f")
+
+    def save_images(self, out_dir: str, overlay: bool = True):
+        """Dump the reference-frame ring buffer as PNGs, optionally with
+        tracked-point overlays: each valid visual map point is projected
+        into the frame's camera pose and marked green (converged) or red
+        (not yet) — the reference's plotTrackedPoints diagnostic
+        (vio.cpp:1699-1740) and img_en image dump. Host-side, end-of-run
+        (per the d2h cost model: no per-frame readbacks)."""
+        from ..io import export as export_mod
+        from ..models import camera as cam_mod2
+
+        os.makedirs(out_dir, exist_ok=True)
+        imgs = np.asarray(self.ring.imgs)
+        ids = np.asarray(self.ring.ids)
+        if overlay:
+            pv = np.asarray(vio_mod.pool_point_valid(self.pool))
+            pw = np.asarray(vio_mod.pool_pos(self.pool))[pv]
+            conv = np.asarray(vio_mod.pool_converged(self.pool))[pv]
+            Rci = np.asarray(self.Rci)
+            Pci = np.asarray(self.Pci)
+        h, w = imgs.shape[-2:]
+        written = []
+        for slot in np.argsort(ids):
+            fid = int(ids[slot])
+            if fid < 0:
+                continue
+            g = np.clip(imgs[slot], 0, 255)
+            rgb = np.repeat(g[:, :, None], 3, axis=-1)
+            if overlay and fid < len(self.trajectory) and len(pw):
+                t, R, p = self.trajectory[fid]
+                Rcw = Rci @ np.asarray(R).T
+                pc = (pw - np.asarray(p)) @ Rcw.T + Pci
+                front = pc[:, 2] > 0.1
+                px = np.asarray(
+                    cam_mod2.world2cam(self.cam, jnp.asarray(pc, jnp.float32))
+                )
+                u = np.round(px[:, 0]).astype(int)
+                v = np.round(px[:, 1]).astype(int)
+                ok = front & (u >= 2) & (u < w - 2) & (v >= 2) & (v < h - 2)
+                for ui, vi, ci in zip(u[ok], v[ok], conv[ok]):
+                    color = (0, 255, 0) if ci else (255, 80, 80)
+                    rgb[vi - 1:vi + 2, ui - 1:ui + 2] = color
+            path = os.path.join(out_dir, f"{fid:05d}.png")
+            export_mod.write_png(path, rgb)
+            written.append(path)
+        return written
 
     def export_colmap(self, out_dir: str):
         """COLMAP sparse-model text export of the camera trajectory and

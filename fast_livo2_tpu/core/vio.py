@@ -164,6 +164,10 @@ def pool_pos(pool: VisualPool):
     return pool.point[:, _P_POS]
 
 
+def pool_converged(pool: VisualPool):
+    return pool.point[:, _P_CONV] > 0.5
+
+
 def camera_pose(state: NavState, Rci, Pci):
     """IMU state -> camera-from-world pose (updateFrameState,
     vio.cpp:1690-1697)."""

@@ -151,3 +151,34 @@ def _quat_to_R(q_xyzw: np.ndarray) -> np.ndarray:
             [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
         ]
     )
+
+
+def write_png(path: str, img: np.ndarray):
+    """Minimal dependency-free PNG writer (the image-dump parity path —
+    the reference shells out to cv::imwrite; neither OpenCV nor PIL ship
+    in this image). `img`: (H, W) grayscale or (H, W, 3) RGB, uint8 or
+    float in [0, 255]."""
+    import struct
+    import zlib
+
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(a, 0, 255).astype(np.uint8)
+    if a.ndim == 2:
+        color_type, nchan = 0, 1
+        a = a[:, :, None]
+    else:
+        color_type, nchan = 2, 3
+    h, w = a.shape[:2]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))

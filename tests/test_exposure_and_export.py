@@ -61,3 +61,36 @@ def test_state_traces_and_colmap_export(tmp_path):
     assert os.path.exists(os.path.join(out, "sparse", "0", "cameras.txt"))
     imgs = open(os.path.join(out, "sparse", "0", "images.txt")).read()
     assert len(imgs.splitlines()) >= 3 + 2 * len(pipe.trajectory)
+
+
+def test_png_roundtrip():
+    """write_png emits decodable PNGs (gray + RGB) — the image-dump path
+    behind pipeline.save_images / plotTrackedPoints overlays."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fast_livo2_tpu.io.export import write_png
+
+    rng = np.random.default_rng(0)
+    for shape, nch in (((40, 60), 1), ((40, 60, 3), 3)):
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        path = "/tmp/_flv_png_test.png"
+        write_png(path, img)
+        raw = open(path, "rb").read()
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        i, idat = 8, b""
+        while i < len(raw):
+            ln, tag = struct.unpack(">I4s", raw[i:i + 8])
+            if tag == b"IDAT":
+                idat += raw[i + 8:i + 8 + ln]
+            i += 12 + ln
+        d = zlib.decompress(idat)
+        h, w = shape[:2]
+        out = np.stack([
+            np.frombuffer(d[y * (1 + w * nch) + 1:(y + 1) * (1 + w * nch)],
+                          np.uint8).reshape(w, nch)
+            for y in range(h)
+        ])
+        np.testing.assert_array_equal(out.squeeze(), img)
