@@ -63,7 +63,7 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, group: int = 128,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (group, w), lambda g, idx_ref: (g, 0),
                 memory_space=pltpu.VMEM,

@@ -104,7 +104,7 @@ def main():
 
     pgn = jnp.where(res.match.valid[:, None], res.match.normal, 0.0)
     gen = jax.jit(lambda pl: vio_mod.generate_points(
-        pl, img, res.pts_w, pgn, res.var_w, down_valid, submap.valid,
+        pl, img, res.pts_w, pgn, vm.sym6(res.var_w), down_valid, submap.valid,
         res.state, cam, Rci, Pci, jnp.asarray(7, jnp.int32),
         jnp.asarray(7, jnp.int32), vcfg)[0])
     timeit("vio.generate_points", lambda: gen(pool2))
