@@ -93,6 +93,7 @@ class LIVOPipeline:
             sigma_num=cfg.lio.sigma_num,
             layer_init_num=tuple(cfg.lio.layer_init_num),
             max_points_num=cfg.lio.max_points_num,
+            insert_compact=t.insert_compact,
         )
         self.cam = cam_mod.make_camera(cfg.camera)
         gs, gnw, gnh = vio_mod.derive_grid(self.cam, cfg.vio.grid_size, cfg.vio.grid_n_height)
@@ -263,7 +264,8 @@ class LIVOPipeline:
         )
         if "map" not in _SKIP:
             vmap_state = vmap_mod.update_map(
-                vmap_state, res.pts_w, res.var_w, down_valid, self.map_cfg
+                vmap_state, res.pts_w, res.var_w, down_valid, self.map_cfg,
+                compact=True,
             )
         state, cov = res.state, res.cov
         n_tracked = jnp.asarray(0, jnp.int32)

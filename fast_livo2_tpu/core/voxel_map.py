@@ -113,6 +113,8 @@ class VoxelMapConfig(NamedTuple):
     probes: int = 8
     insert_probes: int = 6  # claim rounds for new keys; lookups still
     # scan the full probe window, so short-window inserts stay findable
+    insert_compact: int = 0  # >0: compact unresolved keys to this many
+    # lanes before the claim rounds (steady-state insert fast path)
     planner_threshold: float = 0.0025  # min_eigen_value
     sigma_num: float = 3.0
     layer_init_num: Sequence[int] = (5, 5, 5, 5, 5)
@@ -168,24 +170,15 @@ def _lookup_window(keys_tab, keys, probes: int):
     return slot, found
 
 
-def _insert(keys_tab, keys, valid, probes: int, insert_probes: int = None):
-    """Find-or-claim slots (race-free batched insert; claim protocol:
-    scatter-max lane tickets per probe round). All scatters write full
-    rows of the (C, 3) key table; the claim loop runs `insert_probes`
-    rounds (new keys are a few percent of a steady frame — hits resolve
-    in the single windowed lookup). Returns (keys_tab, slot (N,))."""
+def _claim_loop(keys_tab, keys, unresolved, rounds: int):
+    """Claim rounds of the race-free batched insert (scatter-max lane
+    tickets per probe round). Returns (keys_tab, slot (N,) or -1)."""
     C = keys_tab.shape[0]
     n = keys.shape[0]
     h = _bucket(keys, C)
     lane = jnp.arange(n, dtype=jnp.int32)
     slot_out = jnp.full((n,), -1, jnp.int32)
-
-    # Fast path: one windowed lookup resolves existing keys.
-    slot0, found0 = _lookup_window(keys_tab, keys, probes)
-    slot_out = jnp.where(found0, slot0, slot_out)
-    unresolved = valid & ~found0
-
-    for j in range(insert_probes or probes):
+    for j in range(rounds):
         s = jnp.bitwise_and(h + j, C - 1)
         tk = keys_tab[s]
         found = jnp.all(tk == keys, axis=-1)
@@ -205,15 +198,49 @@ def _insert(keys_tab, keys, valid, probes: int, insert_probes: int = None):
     return keys_tab, slot_out
 
 
+def _insert(keys_tab, keys, valid, probes: int, insert_probes: int = None,
+            compact_to: int = 0):
+    """Find-or-claim slots. All scatters write full rows of the (C, 3)
+    key table; hits resolve in ONE windowed lookup; only unresolved (new)
+    keys enter the claim rounds. With compact_to > 0 the unresolved lanes
+    are first compacted into that many lanes (at a steady frame new keys
+    are a few percent of the batch), so the claim loop's ~4 random
+    accesses per round shrink from N rows to compact_to rows. Overflowing
+    keys are dropped this frame — they re-insert on the next frame that
+    observes the voxel. Returns (keys_tab, slot (N,), -1 = absent)."""
+    n = keys.shape[0]
+    slot_out = jnp.full((n,), -1, jnp.int32)
+
+    # Fast path: one windowed lookup resolves existing keys.
+    slot0, found0 = _lookup_window(keys_tab, keys, probes)
+    slot_out = jnp.where(found0, slot0, slot_out)
+    unresolved = valid & ~found0
+    rounds = insert_probes or probes
+
+    if compact_to and compact_to < n:
+        u = compact_to
+        (lane_idx,) = jnp.nonzero(unresolved, size=u, fill_value=n)
+        ck = keys[jnp.minimum(lane_idx, n - 1)]
+        cu = lane_idx < n
+        keys_tab, cslot = _claim_loop(keys_tab, ck, cu, rounds)
+        slot_out = slot_out.at[jnp.where(cu, lane_idx, n)].set(
+            cslot, mode="drop"
+        )
+    else:
+        keys_tab, cslot = _claim_loop(keys_tab, keys, unresolved, rounds)
+        slot_out = jnp.where(unresolved, cslot, slot_out)
+    return keys_tab, slot_out
+
+
 def _update_layer_one(keys_tab, cnt, rec, stats, pts_w, var_w6, valid, vsize,
-                      init_num, cfg: VoxelMapConfig):
+                      init_num, cfg: VoxelMapConfig, compact_to: int = 0):
     """Single-layer insert + refit (vmapped over layers). Mirrors
     UpdateOctoTree/init_plane (voxel_map.cpp:219-290) as scatter-adds +
     one batched closed-form eigendecomposition."""
     C = cnt.shape[0]
     keys = jnp.floor(pts_w / vsize).astype(jnp.int32)
     keys_tab, slots = _insert(keys_tab, keys, valid, cfg.probes,
-                              cfg.insert_probes)
+                              cfg.insert_probes, compact_to=compact_to)
 
     ok = valid & (slots >= 0)
     s = jnp.where(ok, slots, 0)
@@ -274,7 +301,7 @@ def _update_layer_one(keys_tab, cnt, rec, stats, pts_w, var_w6, valid, vsize,
 
 def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
                valid: jnp.ndarray, cfg: VoxelMapConfig,
-               mesh=None) -> VoxelMap:
+               mesh=None, compact: bool = False) -> VoxelMap:
     """Insert a frame into every layer with one vmapped op set (the
     flat-layer equivalent of the octree's conditional subdivision —
     inactive layers are masked at query time). var_w: (N, 3, 3) or (N, 6)
@@ -297,9 +324,10 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     var_w6 = var_w if var_w.ndim == 2 else sym6(var_w)
     vs = layer_voxel_sizes(cfg)
     inits = layer_init_nums(cfg)
+    compact_to = cfg.insert_compact if compact else 0
     keys, cnt, rec, stats = jax.vmap(
         lambda k, c, r, st, v, ini: _update_layer_one(
-            k, c, r, st, pts_w, var_w6, valid, v, ini, cfg
+            k, c, r, st, pts_w, var_w6, valid, v, ini, cfg, compact_to
         )
     )(vmap_state.keys, vmap_state.cnt, vmap_state.rec, vmap_state.stats, vs, inits)
     return VoxelMap(keys=keys, cnt=cnt, rec=rec, stats=stats)

@@ -165,6 +165,10 @@ class TPUParams:
     max_imu_per_packet: int = 64  # pad size for the IMU batch per sync packet
     hash_capacity_log2: int = 18  # per-layer voxel hash slots (2^18 = 262144)
     hash_probe_len: int = 8  # linear probes before giving up
+    insert_compact: int = 2048  # steady-state map insert: compact new
+    # (unresolved) keys to this many lanes before the claim rounds; 0 off.
+    # Lanes count POINTS in not-yet-mapped voxels; overflow drops to the
+    # next frame (self-healing), so size for burst frames (new rooms).
     vis_point_capacity: int = 65536  # visual point pool
     vis_obs_per_point: int = 8  # observation slots per visual point
     frame_ring: int = 64  # reference-frame ring buffer length

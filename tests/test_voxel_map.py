@@ -143,3 +143,61 @@ def test_downsample_respects_validity_mask():
     out, out_valid = lio.voxel_downsample(jnp.asarray(pts), valid, 0.5, 64)
     assert int(jnp.sum(out_valid)) == 1
     np.testing.assert_allclose(np.asarray(out[0]), [10, 10, 10], atol=1e-5)
+
+
+def test_compacted_insert_matches_full():
+    """Steady-state insert path: compacting unresolved keys before the
+    claim rounds must produce the same map as the full-lane loop when the
+    compact buffer fits the new keys."""
+    cfg = vm.VoxelMapConfig(voxel_size=0.5, n_layers=2, capacity_log2=10,
+                            layer_init_num=(3, 3), insert_compact=256)
+    rng = np.random.default_rng(3)
+    base = rng.uniform(-4, 4, (600, 3)).astype(np.float32)
+    base[:, 2] = 0.002 * rng.normal(size=600).astype(np.float32)
+    var = jnp.tile(jnp.eye(3, dtype=jnp.float32) * 1e-4, (600, 1, 1))
+    valid = jnp.ones(600, bool)
+
+    m0 = vm.update_map(vm.make_map(cfg), jnp.asarray(base), var, valid, cfg)
+
+    # Second frame: mostly revisits + 100 new-area points (unresolved
+    # lanes count POINTS, not voxels — keep them under 256 lanes).
+    nxt = np.concatenate([
+        base[:500] + rng.normal(size=(500, 3)).astype(np.float32) * 0.001,
+        (rng.uniform(5, 8, (100, 3)) * np.array([1, 1, 0.001])).astype(np.float32),
+    ])
+    var2 = jnp.tile(jnp.eye(3, dtype=jnp.float32) * 1e-4, (600, 1, 1))
+    m_full = vm.update_map(m0, jnp.asarray(nxt), var2, valid, cfg,
+                           compact=False)
+    m_cmp = vm.update_map(m0, jnp.asarray(nxt), var2, valid, cfg,
+                          compact=True)
+
+    # Same voxel sets (slot order may differ within a probe window only if
+    # claim order differs; keys are claimed in lane order both ways, so
+    # tables must match exactly).
+    np.testing.assert_array_equal(np.asarray(m_full.keys), np.asarray(m_cmp.keys))
+    np.testing.assert_allclose(np.asarray(m_full.cnt), np.asarray(m_cmp.cnt))
+    np.testing.assert_allclose(np.asarray(m_full.stats), np.asarray(m_cmp.stats),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_compacted_insert_overflow_drops_gracefully():
+    """More new keys than compact lanes: the overflow is dropped this
+    frame (re-inserted when next observed), never corrupting the table."""
+    cfg = vm.VoxelMapConfig(voxel_size=0.5, n_layers=1, capacity_log2=10,
+                            layer_init_num=(3,), insert_compact=16)
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-20, 20, (400, 3)).astype(np.float32)  # ~hundreds of voxels
+    var = jnp.tile(jnp.eye(3, dtype=jnp.float32) * 1e-4, (400, 1, 1))
+    valid = jnp.ones(400, bool)
+    m = vm.update_map(vm.make_map(cfg), jnp.asarray(pts), var, valid, cfg,
+                      compact=True)
+    keys = np.asarray(m.keys[0])
+    occ = keys[:, 0] != vm.EMPTY
+    assert 0 < occ.sum() <= 16 * cfg.insert_probes
+    # All occupied slots hold keys from the input set.
+    in_keys = set(map(tuple, np.floor(pts / 0.5).astype(np.int32)))
+    for k in keys[occ]:
+        assert tuple(k) in in_keys
+    # Dropped keys insert on the next frame.
+    m2 = vm.update_map(m, jnp.asarray(pts), var, valid, cfg, compact=True)
+    assert (np.asarray(m2.keys[0])[:, 0] != vm.EMPTY).sum() >= occ.sum()
