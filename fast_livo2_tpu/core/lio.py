@@ -137,21 +137,47 @@ def lio_update(
     )
 
     def cond(carry):
-        it, state, stop, rematch, G_keep, match = carry
+        it, state, stop, rematch, G_keep, match, fresh = carry
         return (~stop) & (it < max_iterations)
 
     def body(carry):
         # NOTE: under jax.vmap a while_loop body keeps running for batch
         # elements whose cond is already false — every update below must
         # therefore be masked by the carried stop flag.
-        it, state, stop, rematch, G_keep, last_match_c = carry
+        it, state, stop, rematch, G_keep, last_match_c, fresh = carry
         pts_w = pts_imu @ state.rot.T + state.pos
-        var_w = (
-            jnp.einsum("ij,njk,lk->nil", state.rot, body_cov, state.rot)
-            + crossmat @ rot_var @ jnp.swapaxes(crossmat, -1, -2)
-            + t_var
-        )
-        match = match_planes(vmap_state, pts_w, var_w, valid, map_cfg)
+
+        # Correspondence refresh policy: a full hash-probe search
+        # (match_planes — ~4 windowed gathers, the dominant cost of the
+        # whole update) runs on iteration 0 and on the rematch round after
+        # convergence (the reference re-runs BuildResidualListOMP every
+        # iteration, voxel_map.cpp:409; between rematch rounds the state
+        # moves < 0.01°/0.015 cm, so the matched plane per point is
+        # stable). Intermediate iterations reuse the carried plane fields
+        # and only re-evaluate the signed distance and the 3σ gate
+        # (:737) — zero memory traffic.
+        def do_fresh(_):
+            var_w = (
+                jnp.einsum("ij,njk,lk->nil", state.rot, body_cov, state.rot)
+                + crossmat @ rot_var @ jnp.swapaxes(crossmat, -1, -2)
+                + t_var
+            )
+            return match_planes(vmap_state, pts_w, var_w, valid, map_cfg)
+
+        def do_reuse(_):
+            m = last_match_c
+            nrm = m.normal
+            dist = jnp.sum(nrm * pts_w, axis=-1) + m.d
+            sigma_l = m.sigma_plane + jnp.einsum(
+                "ni,nij,nj->n", nrm, var_meas_rot, nrm
+            )
+            ok = m.valid & (
+                jnp.abs(dist)
+                < map_cfg.sigma_num * jnp.sqrt(jnp.clip(sigma_l, 1e-12, None))
+            )
+            return m._replace(dist=dist, valid=ok)
+
+        match = jax.lax.cond(fresh, do_fresh, do_reuse, None)
 
         n = match.normal
         use = match.valid & valid
@@ -192,12 +218,13 @@ def lio_update(
         )
         rematch = rematch + inc
         stop = stop | (rematch >= 2) | (it == max_iterations - 1)
-        return (it + 1, state, stop, rematch, G, match)
+        fresh_next = inc > 0  # full re-search on the rematch round
+        return (it + 1, state, stop, rematch, G, match, fresh_next)
 
     init = (jnp.asarray(0, jnp.int32), state_prop, jnp.asarray(False),
             jnp.asarray(0, jnp.int32), jnp.zeros((DIM_STATE, DIM_STATE), f32),
-            empty_match)
-    _, state, _, _, G_keep, last_match = jax.lax.while_loop(cond, body, init)
+            empty_match, jnp.asarray(True))
+    _, state, _, _, G_keep, last_match, _ = jax.lax.while_loop(cond, body, init)
 
     cov_post = (jnp.eye(DIM_STATE, dtype=f32) - G_keep) @ cov_prop
 

@@ -111,10 +111,10 @@ class VoxelMapConfig(NamedTuple):
     n_layers: int = 3  # reference max_layer=2 -> layers 0..2
     capacity_log2: int = 18
     probes: int = 8
-    insert_probes: int = 6  # claim rounds for new keys; lookups still
-    # scan the full probe window, so short-window inserts stay findable
     insert_compact: int = 0  # >0: compact unresolved keys to this many
     # lanes before the claim rounds (steady-state insert fast path)
+    descend_shrink: int = 2  # per-layer shrink of the descending point
+    # budget in update_map (N, N/2, N/4, ... — gated octree descent)
     planner_threshold: float = 0.0025  # min_eigen_value
     sigma_num: float = 3.0
     layer_init_num: Sequence[int] = (5, 5, 5, 5, 5)
@@ -153,81 +153,106 @@ def _lookup_window(keys_tab, keys, probes: int):
     """ONE windowed gather resolving a whole probe chain.
 
     keys_tab: (C, 3) int32; keys: (N, 3) int32. Returns (slot (N,),
-    found (N,)); slot is -1 when absent."""
+    found (N,), empty_row (N,)); slot is -1 when absent; empty_row is the
+    first EMPTY row of the probe window (-1 if the window is full) — the
+    only row an insert of this key may claim, since lookups stop at the
+    first EMPTY."""
     C = keys_tab.shape[0]
     h = _bucket(keys, C)
     offs = jnp.arange(probes, dtype=jnp.int32)
     rows = jnp.bitwise_and(h[:, None] + offs[None, :], C - 1)  # (N, P)
     wkeys = keys_tab[rows]  # (N, P, 3) — the single gather
     match = jnp.all(wkeys == keys[:, None, :], axis=-1)  # (N, P)
-    empty_before = jnp.cumsum(
-        (wkeys[:, :, 0] == EMPTY).astype(jnp.int32), axis=1
-    ) > 0
+    is_empty = wkeys[:, :, 0] == EMPTY
+    empty_before = jnp.cumsum(is_empty.astype(jnp.int32), axis=1) > 0
     valid_match = match & ~jnp.roll(empty_before, 1, axis=1).at[:, 0].set(False)
     found = jnp.any(valid_match, axis=1)
     j = jnp.argmax(valid_match, axis=1)
     slot = jnp.where(found, jnp.take_along_axis(rows, j[:, None], axis=1)[:, 0], -1)
-    return slot, found
+    empty_rows = []
+    rem = is_empty
+    for _ in range(min(_CLAIM_ROUNDS, probes)):
+        any_e = jnp.any(rem, axis=1)
+        je = jnp.argmax(rem, axis=1)
+        empty_rows.append(jnp.where(
+            any_e, jnp.take_along_axis(rows, je[:, None], axis=1)[:, 0], -1
+        ))
+        rem = rem & (jnp.arange(rem.shape[1])[None, :] != je[:, None])
+    empty_rows = jnp.stack(empty_rows, axis=1)  # (N, R)
+    return slot, found, empty_rows
 
 
-def _claim_loop(keys_tab, keys, unresolved, rounds: int):
-    """Claim rounds of the race-free batched insert (scatter-max lane
-    tickets per probe round). Returns (keys_tab, slot (N,) or -1)."""
+_CLAIM_ROUNDS = 3  # snapshot-empty claim rounds per insert
+
+
+def _claim_rounds(keys_tab, keys, targets, unresolved):
+    """Race-free claim over the lookup-snapshot empties: round k bids a
+    lane ticket (scatter-max) for the lane's k-th snapshot-empty window
+    row; winners write their key; one verify gather resolves winners AND
+    duplicate-key lanes (the winning duplicate wrote the same key).
+    Rounds > 1 first re-check the target row is still EMPTY (an earlier
+    round may have filled it with another key). Claiming snapshot-empties
+    in order preserves the lookup invariant (probes stop at the first
+    EMPTY row): a lane only advances to its k-th empty after its earlier
+    empties were filled by other keys. Lanes that lose every round stay
+    -1 and re-insert on the next frame that observes the voxel. Returns
+    (keys_tab, slot (N,) or -1)."""
     C = keys_tab.shape[0]
     n = keys.shape[0]
-    h = _bucket(keys, C)
     lane = jnp.arange(n, dtype=jnp.int32)
     slot_out = jnp.full((n,), -1, jnp.int32)
-    for j in range(rounds):
-        s = jnp.bitwise_and(h + j, C - 1)
-        tk = keys_tab[s]
-        found = jnp.all(tk == keys, axis=-1)
-        hit = unresolved & found
-        slot_out = jnp.where(hit, s, slot_out)
-        unresolved = unresolved & ~found
-        cand = unresolved & (tk[:, 0] == EMPTY)
+    for k in range(targets.shape[1]):
+        target = targets[:, k]
+        cand = unresolved & (target >= 0)
+        sg = jnp.where(cand, target, 0)
+        if k > 0:
+            still_empty = keys_tab[sg][:, 0] == EMPTY
+            # A prior round may have parked THIS key here (duplicate lane
+            # that lost the ticket but whose twin won): re-check match.
+            refound = cand & jnp.all(keys_tab[sg] == keys, axis=-1)
+            slot_out = jnp.where(refound, target, slot_out)
+            unresolved = unresolved & ~refound
+            cand = cand & still_empty & unresolved
+            sg = jnp.where(cand, target, 0)
+        s = jnp.where(cand, target, C)
         ticket = jnp.where(cand, lane, -1)
-        s_or_oob = jnp.where(cand, s, C)
-        claims = jnp.full((C,), -1, jnp.int32).at[s_or_oob].max(ticket, mode="drop")
-        won = cand & (claims[s] == lane)
-        ws = jnp.where(won, s, C)
-        keys_tab = keys_tab.at[ws].set(keys, mode="drop")
-        refound = cand & jnp.all(keys_tab[s] == keys, axis=-1)
-        slot_out = jnp.where(refound, s, slot_out)
-        unresolved = unresolved & ~refound
+        claims = jnp.full((C,), -1, jnp.int32).at[s].max(ticket, mode="drop")
+        won = cand & (claims[sg] == lane)
+        keys_tab = keys_tab.at[jnp.where(won, target, C)].set(keys, mode="drop")
+        resolved = cand & jnp.all(keys_tab[sg] == keys, axis=-1)
+        slot_out = jnp.where(resolved, target, slot_out)
+        unresolved = unresolved & ~resolved
     return keys_tab, slot_out
 
 
-def _insert(keys_tab, keys, valid, probes: int, insert_probes: int = None,
-            compact_to: int = 0):
-    """Find-or-claim slots. All scatters write full rows of the (C, 3)
-    key table; hits resolve in ONE windowed lookup; only unresolved (new)
-    keys enter the claim rounds. With compact_to > 0 the unresolved lanes
-    are first compacted into that many lanes (at a steady frame new keys
-    are a few percent of the batch), so the claim loop's ~4 random
-    accesses per round shrink from N rows to compact_to rows. Overflowing
-    keys are dropped this frame — they re-insert on the next frame that
-    observes the voxel. Returns (keys_tab, slot (N,), -1 = absent)."""
+def _insert(keys_tab, keys, valid, probes: int, compact_to: int = 0):
+    """Find-or-claim slots. Hits resolve in ONE windowed lookup; new keys
+    claim the EMPTY rows their probe window already exposed during that
+    lookup (so claiming costs ~3 random-access ops per round instead of a
+    fresh probe walk). With compact_to > 0 the unresolved lanes are first
+    compacted into that many lanes (at a steady frame new keys are a few
+    percent of the batch). Overflowing/losing keys are dropped this
+    frame — they re-insert on the next frame that observes the voxel.
+    Returns (keys_tab, slot (N,), -1 = absent)."""
     n = keys.shape[0]
     slot_out = jnp.full((n,), -1, jnp.int32)
 
     # Fast path: one windowed lookup resolves existing keys.
-    slot0, found0 = _lookup_window(keys_tab, keys, probes)
+    slot0, found0, empty_rows = _lookup_window(keys_tab, keys, probes)
     slot_out = jnp.where(found0, slot0, slot_out)
-    unresolved = valid & ~found0
-    rounds = insert_probes or probes
+    unresolved = valid & ~found0 & (empty_rows[:, 0] >= 0)
 
     if compact_to and compact_to < n:
         u = compact_to
         (lane_idx,) = jnp.nonzero(unresolved, size=u, fill_value=n)
-        ck = keys[jnp.minimum(lane_idx, n - 1)]
+        li = jnp.minimum(lane_idx, n - 1)
         cu = lane_idx < n
-        keys_tab, cslot = _claim_loop(keys_tab, ck, cu, rounds)
+        keys_tab, cslot = _claim_rounds(keys_tab, keys[li], empty_rows[li], cu)
         slot_out = slot_out.at[jnp.where(cu, lane_idx, n)].set(
             cslot, mode="drop"
         )
     else:
-        keys_tab, cslot = _claim_loop(keys_tab, keys, unresolved, rounds)
+        keys_tab, cslot = _claim_rounds(keys_tab, keys, empty_rows, unresolved)
         slot_out = jnp.where(unresolved, cslot, slot_out)
     return keys_tab, slot_out
 
@@ -240,7 +265,7 @@ def _update_layer_one(keys_tab, cnt, rec, stats, pts_w, var_w6, valid, vsize,
     C = cnt.shape[0]
     keys = jnp.floor(pts_w / vsize).astype(jnp.int32)
     keys_tab, slots = _insert(keys_tab, keys, valid, cfg.probes,
-                              cfg.insert_probes, compact_to=compact_to)
+                              compact_to=compact_to)
 
     ok = valid & (slots >= 0)
     s = jnp.where(ok, slots, 0)
@@ -296,7 +321,12 @@ def _update_layer_one(keys_tab, cnt, rec, stats, pts_w, var_w6, valid, vsize,
     )  # (N, 21) — full rec rows
     wf = jnp.where(ok & enough, slots, C)
     rec = rec.at[wf].set(rec_update, mode="drop")
-    return keys_tab, cnt, rec, stats
+    # Octree-descent mask (cut_octo_tree, voxel_map.cpp:163-217): a point
+    # continues to the next layer only when its voxel here has enough
+    # points and still fails the plane fit. (Frozen voxels keep their
+    # stats, so the recomputed classification equals the stored one.)
+    descend = valid & (slots >= 0) & enough & (is_plane < 0.5)
+    return keys_tab, cnt, rec, stats, descend
 
 
 def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
@@ -325,12 +355,42 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     vs = layer_voxel_sizes(cfg)
     inits = layer_init_nums(cfg)
     compact_to = cfg.insert_compact if compact else 0
-    keys, cnt, rec, stats = jax.vmap(
-        lambda k, c, r, st, v, ini: _update_layer_one(
-            k, c, r, st, pts_w, var_w6, valid, v, ini, cfg, compact_to
+    # Sequential layers with gated descent: layer l+1 only sees the points
+    # whose layer-l voxel subdivided (enough points, failed plane fit) —
+    # the flat-array equivalent of the octree's conditional cut
+    # (voxel_map.cpp:163-217). The descending subset is compacted to a
+    # shrinking static budget, so deep-layer scatter traffic tracks the
+    # (small) non-planar fraction of the scene instead of the full scan.
+    keys_l, cnt_l, rec_l, stats_l = [], [], [], []
+    cur_pts, cur_var, cur_valid = pts_w, var_w6, valid
+    for li in range(cfg.n_layers):
+        k, c, r, st, descend = _update_layer_one(
+            vmap_state.keys[li], vmap_state.cnt[li], vmap_state.rec[li],
+            vmap_state.stats[li], cur_pts, cur_var, cur_valid,
+            vs[li], inits[li], cfg,
+            min(compact_to, cur_pts.shape[0]) if compact_to else 0,
         )
-    )(vmap_state.keys, vmap_state.cnt, vmap_state.rec, vmap_state.stats, vs, inits)
-    return VoxelMap(keys=keys, cnt=cnt, rec=rec, stats=stats)
+        keys_l.append(k)
+        cnt_l.append(c)
+        rec_l.append(r)
+        stats_l.append(st)
+        if li + 1 < cfg.n_layers:
+            n_cur = cur_pts.shape[0]
+            n_next = max(n_cur // cfg.descend_shrink, 512)
+            if n_next < n_cur:
+                (idx,) = jnp.nonzero(cur_valid & descend, size=n_next,
+                                     fill_value=n_cur)
+                ok = idx < n_cur
+                idxc = jnp.minimum(idx, n_cur - 1)
+                cur_pts = cur_pts[idxc]
+                cur_var = cur_var[idxc]
+                cur_valid = ok
+            else:
+                cur_valid = cur_valid & descend
+    return VoxelMap(
+        keys=jnp.stack(keys_l), cnt=jnp.stack(cnt_l),
+        rec=jnp.stack(rec_l), stats=jnp.stack(stats_l),
+    )
 
 
 class PlaneMatch(NamedTuple):
@@ -418,7 +478,7 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
     recs = vmap_state.rec[idx]  # (L+1, C, 21)
 
     def one(keys_tab, rec_tab, keys):
-        slot, found = _lookup_window(keys_tab, keys, cfg.probes)
+        slot, found, _ = _lookup_window(keys_tab, keys, cfg.probes)
         rec = rec_tab[jnp.where(found, slot, 0)]
         rec = jnp.where(found[:, None], rec, 0.0)
         is_pl, ok, prob, fields = _gate(rec, found, pts_w, var_w6, cfg)
@@ -468,7 +528,7 @@ def query_plane(vmap_state: VoxelMap, pts_w: jnp.ndarray, cfg: VoxelMapConfig):
     keys_L = jnp.floor(pts_w[None, :, :] / vsizes[:, None, None]).astype(jnp.int32)
 
     def one(keys_tab, rec_tab, keys):
-        slot, found = _lookup_window(keys_tab, keys, cfg.probes)
+        slot, found, _ = _lookup_window(keys_tab, keys, cfg.probes)
         rec = rec_tab[jnp.where(found, slot, 0)]
         rec = jnp.where(found[:, None], rec, 0.0)
         is_pl = (rec[:, _ISPL] > 0.5) & found

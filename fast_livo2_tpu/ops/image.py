@@ -121,20 +121,46 @@ def bilinear(img: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarray:
     return (1 - su) * (1 - sv) * tl + su * (1 - sv) * tr + (1 - su) * sv * bl + su * sv * br
 
 
-def shi_tomasi(img: jnp.ndarray, px: jnp.ndarray, halfbox: int = 4) -> jnp.ndarray:
-    """Shi-Tomasi corner score at (N, 2) integer-ish pixel locations
-    (vk::shiTomasiScore as used at vio.cpp:822): min eigenvalue of the
-    averaged gradient structure tensor over an 8x8 box."""
+def _box_sum(a: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    """S[y, x] = sum of a over the window [y+lo, y+hi] x [x+lo, x+hi]
+    (inclusive), with clamped (edge-replicated) out-of-range taps — via
+    integral images, O(HW) with no gathers."""
+    pl, ph = -lo, hi
+    ap = jnp.pad(a, ((pl, ph), (pl, ph)), mode="edge")
+    ii = jnp.cumsum(jnp.cumsum(ap, axis=0), axis=1)
+    ii = jnp.pad(ii, ((1, 0), (1, 0)))
+    w = hi - lo + 1
+    h_, w_ = a.shape
+    # window for pixel p covers padded rows [p, p+w-1] -> ii[p+w] - ii[p]
+    return (
+        ii[w:w + h_, w:w + w_] - ii[:h_, w:w + w_]
+        - ii[w:w + h_, :w_] + ii[:h_, :w_]
+    )
+
+
+def shi_tomasi_image(img: jnp.ndarray, halfbox: int = 4) -> jnp.ndarray:
+    """Dense Shi-Tomasi score image: min eigenvalue of the averaged
+    gradient structure tensor over a (2*halfbox)² box at every pixel.
+    Shift-based gradients + integral-image box sums keep this entirely on
+    the vector unit — scoring every pixel densely is ~20x cheaper than
+    gathering 4 x 64 taps for each of ~8k candidate points."""
+    imgp = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
+    dx = 0.5 * (imgp[1:-1, 2:] - imgp[1:-1, :-2])
+    dy = 0.5 * (imgp[2:, 1:-1] - imgp[:-2, 1:-1])
     box = 2 * halfbox
-    dxs, dys = patch_offsets(box)
-    xi = px[:, 0].astype(jnp.int32)[:, None] + dxs[None, :]
-    yi = px[:, 1].astype(jnp.int32)[:, None] + dys[None, :]
-    dx = 0.5 * (_gather(img, xi + 1, yi) - _gather(img, xi - 1, yi))
-    dy = 0.5 * (_gather(img, xi, yi + 1) - _gather(img, xi, yi - 1))
     npix = box * box
-    dxx = jnp.sum(dx * dx, axis=1) / npix
-    dyy = jnp.sum(dy * dy, axis=1) / npix
-    dxy = jnp.sum(dx * dy, axis=1) / npix
+    # patch_offsets(box) spans [-halfbox, halfbox-1] in both dims.
+    dxx = _box_sum(dx * dx, -halfbox, halfbox - 1) / npix
+    dyy = _box_sum(dy * dy, -halfbox, halfbox - 1) / npix
+    dxy = _box_sum(dx * dy, -halfbox, halfbox - 1) / npix
     tr = dxx + dyy
     det = dxx * dyy - dxy * dxy
     return 0.5 * (tr - jnp.sqrt(jnp.clip(tr * tr - 4 * det, 0.0, None)))
+
+
+def shi_tomasi(img: jnp.ndarray, px: jnp.ndarray, halfbox: int = 4) -> jnp.ndarray:
+    """Shi-Tomasi corner score at (N, 2) integer-ish pixel locations
+    (vk::shiTomasiScore as used at vio.cpp:822): one gather from the
+    dense score image."""
+    score = shi_tomasi_image(img, halfbox)
+    return _gather(score, px[:, 0].astype(jnp.int32), px[:, 1].astype(jnp.int32))
