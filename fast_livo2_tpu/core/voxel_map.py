@@ -149,14 +149,14 @@ def _bucket(keys, capacity):
     return voxel_hash._bucket(keys, capacity)
 
 
-def _lookup_window(keys_tab, keys, probes: int):
+def _lookup_window(keys_tab, keys, probes: int, claim_rounds: int = None):
     """ONE windowed gather resolving a whole probe chain.
 
     keys_tab: (C, 3) int32; keys: (N, 3) int32. Returns (slot (N,),
-    found (N,), empty_row (N,)); slot is -1 when absent; empty_row is the
-    first EMPTY row of the probe window (-1 if the window is full) — the
-    only row an insert of this key may claim, since lookups stop at the
-    first EMPTY."""
+    found (N,), empty_rows (N, R)); slot is -1 when absent; empty_rows
+    are the first R EMPTY rows of the probe window (-1-padded) — the only
+    rows an insert of this key may claim, since lookups stop at the first
+    EMPTY."""
     C = keys_tab.shape[0]
     h = _bucket(keys, C)
     offs = jnp.arange(probes, dtype=jnp.int32)
@@ -169,9 +169,11 @@ def _lookup_window(keys_tab, keys, probes: int):
     found = jnp.any(valid_match, axis=1)
     j = jnp.argmax(valid_match, axis=1)
     slot = jnp.where(found, jnp.take_along_axis(rows, j[:, None], axis=1)[:, 0], -1)
+    if claim_rounds is None:
+        claim_rounds = _CLAIM_ROUNDS
     empty_rows = []
     rem = is_empty
-    for _ in range(min(_CLAIM_ROUNDS, probes)):
+    for _ in range(min(claim_rounds, probes)):
         any_e = jnp.any(rem, axis=1)
         je = jnp.argmax(rem, axis=1)
         empty_rows.append(jnp.where(
@@ -225,7 +227,8 @@ def _claim_rounds(keys_tab, keys, targets, unresolved):
     return keys_tab, slot_out
 
 
-def _insert(keys_tab, keys, valid, probes: int, compact_to: int = 0):
+def _insert(keys_tab, keys, valid, probes: int, compact_to: int = 0,
+            claim_rounds: int = None):
     """Find-or-claim slots. Hits resolve in ONE windowed lookup; new keys
     claim the EMPTY rows their probe window already exposed during that
     lookup (so claiming costs ~3 random-access ops per round instead of a
@@ -238,7 +241,8 @@ def _insert(keys_tab, keys, valid, probes: int, compact_to: int = 0):
     slot_out = jnp.full((n,), -1, jnp.int32)
 
     # Fast path: one windowed lookup resolves existing keys.
-    slot0, found0, empty_rows = _lookup_window(keys_tab, keys, probes)
+    slot0, found0, empty_rows = _lookup_window(keys_tab, keys, probes,
+                                               claim_rounds)
     slot_out = jnp.where(found0, slot0, slot_out)
     unresolved = valid & ~found0 & (empty_rows[:, 0] >= 0)
 
@@ -583,9 +587,11 @@ def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
         occupied = keys_tab[:, 0] != EMPTY
         keep = occupied & jnp.all(jnp.abs(keys_tab - ctr) <= half, axis=-1)
         fresh = jnp.full((C, 3), EMPTY, jnp.int32)
-        # full probe window here: the rebuild reinserts every key at once
+        # Full probe window of claim rounds here (no lane compaction): the
+        # rebuild reinserts every surviving key in this one call, so each
+        # lane must be able to walk its whole probe window.
         fresh, new_slots = _insert(fresh, keys_tab, keep, cfg.probes,
-                                   cfg.probes)
+                                   compact_to=0, claim_rounds=cfg.probes)
         dst = jnp.where(keep & (new_slots >= 0), new_slots, C)
 
         def move(arr):

@@ -93,20 +93,27 @@ def test_map_sliding_preserves_in_box_evicts_outside():
     pts = jnp.asarray(np.concatenate([near, far]))
     var = jnp.tile(jnp.eye(3) * 1e-4, (len(pts), 1, 1))
     m = vm.make_map(cfg)
+    # Two insert passes: a single claim-round window is deliberately lossy
+    # (losing keys re-insert on the next frame that observes the voxel),
+    # so build like the pipeline does — by re-observation.
+    m = vm.update_map(m, pts, var, jnp.ones(len(pts), bool), cfg)
     m = vm.update_map(m, pts, var, jnp.ones(len(pts), bool), cfg)
 
+    def found_ratio(mm, qpts):
+        slots = np.asarray(vm.voxel_hash.lookup(
+            vm.voxel_hash.HashTable(keys=vm.map_keys(mm, 0)),
+            vm.voxel_hash.voxel_key(qpts, 0.5)))
+        return (slots >= 0).mean()
+
+    q = jnp.asarray(near[:200])
+    pre_ratio = found_ratio(m, q)
+    assert pre_ratio >= 0.98
     n_occ = int(jnp.sum(vm.map_keys(m, 0)[:, 0] != 0x7FFFFFFF))
     m2 = vm.slide_map(m, jnp.zeros(3), half_map_size=20, cfg=cfg)
     n_after = int(jnp.sum(vm.map_keys(m2, 0)[:, 0] != 0x7FFFFFFF))
     assert n_after < n_occ  # far cluster evicted
-    # near points still found
-    q = jnp.asarray(near[:200])
-    slots = np.asarray(
-        __import__("fast_livo2_tpu.ops.voxel_hash", fromlist=["lookup"]).lookup(
-            vm.voxel_hash.HashTable(keys=vm.map_keys(m2, 0)), vm.voxel_hash.voxel_key(q, 0.5)
-        )
-    )
-    assert (slots >= 0).mean() >= 0.98  # sub-% probe-window drops allowed
+    # near points still found: the rebuild itself must be lossless
+    assert found_ratio(m2, q) >= pre_ratio
     # far points gone
     qf = jnp.asarray(far[:200])
     slots_f = np.asarray(
