@@ -335,11 +335,11 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
     pos_all = pool.point[:, _P_POS]
     pc = pos_all @ Rcw.T + Pcw
     px = cam_mod.world2cam(cam, pc)
-    obs_valid_all = pool.obs[:, :, _O_VALID] > 0.5
-    n_obs = jnp.sum(obs_valid_all, axis=1)
+    # _P_VALID already implies >=1 live observation: ring_insert (always
+    # run before retrieval) kills points whose last observation died, so
+    # no full-pool obs scan is needed here.
     cand = (
         (pool.point[:, _P_VALID] > 0.5)
-        & (n_obs > 0)
         & (pc[:, 2] > 0)
         & cam_mod.in_frame(cam, px, border_px(cfg))
     )
@@ -356,8 +356,11 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
     sel_point = pool.point[pidx]  # (M, 19) — one gather
     sel_obs_rows = pool.obs[pidx]  # (M, K, 20) — one gather
     sel_patches = pool.obs_patch[pidx]  # (M, K, ps²)
-    sel_px = px[pidx]
-    sel_pc = pc[pidx]
+    # Recompute the selected projections from the gathered rows instead of
+    # gathering px/pc (M-row random reads cost ~1 ms each on this link;
+    # the reprojection is register math).
+    sel_pc = sel_point[:, _P_POS] @ Rcw.T + Pcw
+    sel_px = cam_mod.world2cam(cam, sel_pc)
 
     # Depth continuity (vio.cpp:619-640).
     dxo, dyo = img_ops.patch_offsets(ps + 1)  # ±half inclusive → 9x9
@@ -743,22 +746,16 @@ def generate_points(pool: VisualPool, img, pg_w, pg_normal, pg_var6, pg_valid,
     return pool, n_added
 
 
-def update_obs(pool: VisualPool, submap: Submap, img, state: NavState,
-               cam: cam_mod.Camera, Rci, Pci, frame_id, frame_slot,
-               cfg: VIOConfig):
-    """Append a new observation to tracked points when the viewpoint moved
-    enough; evict the min-score slot when full (updateVisualMapPoints,
-    vio.cpp:908-967). Converged points drop all non-ref observations
-    (:917-921). Returns (pool, update_flag (M,))."""
+def _update_obs_rows(point_rows, obs_rows, patches, submap: Submap, img,
+                     state: NavState, cam: cam_mod.Camera, Rci, Pci,
+                     frame_id, frame_slot, cfg: VIOConfig):
+    """Row-level core of the observation update (updateVisualMapPoints,
+    vio.cpp:908-967) over pre-gathered (M, ...) pool rows. Returns
+    (point_rows, obs_rows, patches, update_flag (M,))."""
     ps = cfg.patch_size
     K = cfg.max_obs
-    P = cfg.pool_capacity
     M = submap.valid.shape[0]
     Rcw, Pcw = camera_pose(state, Rci, Pci)
-    pidx = submap.point_idx
-
-    point_rows = pool.point[pidx]  # (M, 19)
-    obs_rows = pool.obs[pidx]  # (M, K, 20)
     conv = (point_rows[:, _P_CONV] > 0.5) & submap.valid
     ref_slot = point_rows[:, _P_REF].astype(jnp.int32)
 
@@ -814,9 +811,21 @@ def update_obs(pool: VisualPool, submap: Submap, img, state: NavState,
         jax.lax.broadcasted_iota(jnp.int32, (M, K), 1) == wslot[:, None]
     ) & add[:, None]
     obs_rows = jnp.where(write_row[:, :, None], new_obs[:, None, :], obs_rows)
-    patches = pool.obs_patch[pidx]
     patches = jnp.where(write_row[:, :, None], patch[:, None, :], patches)
+    return point_rows, obs_rows, patches, add
 
+
+def update_obs(pool: VisualPool, submap: Submap, img, state: NavState,
+               cam: cam_mod.Camera, Rci, Pci, frame_id, frame_slot,
+               cfg: VIOConfig):
+    """Standalone observation update (gather + core + scatter); vio_step
+    uses the fused maintain_points instead. Returns (pool, update_flag)."""
+    P = cfg.pool_capacity
+    pidx = submap.point_idx
+    point_rows, obs_rows, patches, add = _update_obs_rows(
+        pool.point[pidx], pool.obs[pidx], pool.obs_patch[pidx], submap, img,
+        state, cam, Rci, Pci, frame_id, frame_slot, cfg,
+    )
     wp = jnp.where(submap.valid, pidx, P)
     pool = pool._replace(
         point=pool.point.at[wp].set(point_rows, mode="drop"),
@@ -826,18 +835,15 @@ def update_obs(pool: VisualPool, submap: Submap, img, state: NavState,
     return pool, add
 
 
-def update_reference(pool: VisualPool, vmap_state: VoxelMap,
-                     map_cfg: VoxelMapConfig, submap: Submap,
-                     updated: jnp.ndarray, cfg: VIOConfig):
-    """Normal refinement from the LIO plane map + NCC/view-angle re-scoring
-    of observations (updateReferencePatch, vio.cpp:969-1100)."""
+def _update_reference_rows(point_rows, obs_rows, patches,
+                           vmap_state: VoxelMap, map_cfg: VoxelMapConfig,
+                           submap: Submap, updated: jnp.ndarray,
+                           cfg: VIOConfig):
+    """Row-level core of the reference refinement (updateReferencePatch,
+    vio.cpp:969-1100) over pre-gathered (M, ...) pool rows. Returns
+    (point_rows, obs_rows)."""
     K = cfg.max_obs
-    P = cfg.pool_capacity
     M = submap.valid.shape[0]
-    pidx = submap.point_idx
-    point_rows = pool.point[pidx]
-    obs_rows = pool.obs[pidx]
-    patches = pool.obs_patch[pidx]
     obs_valid = obs_rows[:, :, _O_VALID] > 0.5
     n_obs = jnp.sum(obs_valid, axis=-1)
     conv = point_rows[:, _P_CONV] > 0.5
@@ -901,13 +907,53 @@ def update_reference(pool: VisualPool, vmap_state: VoxelMap,
     point_rows = point_rows.at[:, _P_HASREF].set(
         jnp.where(lane, 1.0, point_rows[:, _P_HASREF])
     )
+    return point_rows, obs_rows
 
+
+def update_reference(pool: VisualPool, vmap_state: VoxelMap,
+                     map_cfg: VoxelMapConfig, submap: Submap,
+                     updated: jnp.ndarray, cfg: VIOConfig):
+    """Standalone reference refinement (gather + core + scatter); vio_step
+    uses the fused maintain_points instead."""
+    P = cfg.pool_capacity
+    pidx = submap.point_idx
+    point_rows, obs_rows = _update_reference_rows(
+        pool.point[pidx], pool.obs[pidx], pool.obs_patch[pidx],
+        vmap_state, map_cfg, submap, updated, cfg,
+    )
     wl = jnp.where(submap.valid, pidx, P)
-    pool = pool._replace(
+    return pool._replace(
         point=pool.point.at[wl].set(point_rows, mode="drop"),
         obs=pool.obs.at[wl].set(obs_rows, mode="drop"),
     )
-    return pool
+
+
+def maintain_points(pool: VisualPool, vmap_state: VoxelMap,
+                    map_cfg: VoxelMapConfig, submap: Submap, img,
+                    state: NavState, cam: cam_mod.Camera, Rci, Pci,
+                    frame_id, frame_slot, cfg: VIOConfig):
+    """Fused observation update + reference refinement: both stages
+    operate on the SAME pool rows (submap.point_idx), so gathering once
+    and scattering once halves the random-access traffic of the two
+    reference passes (updateVisualMapPoints + updateReferencePatch,
+    vio.cpp:908-1100 — sequential loops there; one gather/scatter pair
+    here). Returns (pool, update_flag (M,))."""
+    P = cfg.pool_capacity
+    pidx = submap.point_idx
+    point_rows, obs_rows, patches, add = _update_obs_rows(
+        pool.point[pidx], pool.obs[pidx], pool.obs_patch[pidx], submap, img,
+        state, cam, Rci, Pci, frame_id, frame_slot, cfg,
+    )
+    point_rows, obs_rows = _update_reference_rows(
+        point_rows, obs_rows, patches, vmap_state, map_cfg, submap, add, cfg,
+    )
+    wp = jnp.where(submap.valid, pidx, P)
+    pool = pool._replace(
+        point=pool.point.at[wp].set(point_rows, mode="drop"),
+        obs=pool.obs.at[wp].set(obs_rows, mode="drop"),
+        obs_patch=pool.obs_patch.at[wp].set(patches, mode="drop"),
+    )
+    return pool, add
 
 
 def ring_insert(pool: VisualPool, ring: FrameRing, img, frame_id, cfg: VIOConfig):
@@ -999,10 +1045,10 @@ def vio_step(state_prop: NavState, cov_prop, pool: VisualPool, ring: FrameRing,
         pool, img, pg_w, pg_normal, pg_var6, pg_valid, submap.valid, state, cam,
         Rci, Pci, frame_id, frame_slot, cfg
     )
-    pool, updated = update_obs(
-        pool, submap, img, state, cam, Rci, Pci, frame_id, frame_slot, cfg
+    pool, updated = maintain_points(
+        pool, vmap_state, map_cfg, submap, img, state, cam, Rci, Pci,
+        frame_id, frame_slot, cfg
     )
-    pool = update_reference(pool, vmap_state, map_cfg, submap, updated, cfg)
 
     return VIOStepResult(
         state=state, cov=cov, pool=pool, ring=ring,

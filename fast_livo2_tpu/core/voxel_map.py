@@ -19,10 +19,12 @@ fused single-array layout cost ~1 s/frame for exactly that reason):
   [is_plane (0) | plane (1:9: normal,d,center,radius) |
    plane_cov (9:21: cov_nn sym6, cov_qq sym6)] — one gather serves the
   whole candidate gating;
-- `cnt (L, C)` float point counts (insert path only);
-- running moments `stats (L, C, 15)` = [sum_p | sum_pp sym6 | sum_C sym6]
-  (voxel-local coordinates, so the Σpp^T - mean mean^T cancellation is
-  benign in float32), insert path only.
+- running moments `stats (L, C, 16)` = [count | sum_p | sum_pp sym6 |
+  sum_C sym6] (voxel-local coordinates, so the Σpp^T - mean mean^T
+  cancellation is benign in float32), insert path only. The count rides
+  in column 0 of the SAME array so the whole insert+refit path costs
+  two gathers + one scatter-add per layer (random-access ops on this
+  link are latency-bound at ~1-2 ms each regardless of row width).
 
 The reference's octree semantics map onto layer masks:
 - a layer-l voxel is *active* for matching iff it is a fitted plane AND
@@ -65,7 +67,7 @@ _ISPL = 0                # 1.0 if fitted plane
 _PL0, _PL1 = 1, 9        # plane: normal(3), d, center(3), radius
 _PC0, _PC1 = 9, 21       # plane_cov: cov_nn sym6, cov_qq sym6
 REC_W = 21
-STATS_W = 15
+STATS_W = 16  # [count | sum_p(3) | sum_pp sym6 | sum_C sym6]
 
 
 def sym6(m):
@@ -99,9 +101,8 @@ def quad6(s, v):
 
 class VoxelMap(NamedTuple):
     keys: jnp.ndarray  # (L, C, 3) int32, EMPTY-marked free slots
-    cnt: jnp.ndarray  # (L, C) float point counts
     rec: jnp.ndarray  # (L, C, 21) per-voxel query record
-    stats: jnp.ndarray  # (L, C, 15) running moments (insert path only)
+    stats: jnp.ndarray  # (L, C, 16) [count | running moments] (insert path)
 
 
 class VoxelMapConfig(NamedTuple):
@@ -125,7 +126,6 @@ def make_map(cfg: VoxelMapConfig) -> VoxelMap:
     L, C = cfg.n_layers, 1 << cfg.capacity_log2
     return VoxelMap(
         keys=jnp.full((L, C, 3), EMPTY, jnp.int32),
-        cnt=jnp.zeros((L, C), jnp.float32),
         rec=jnp.zeros((L, C, REC_W), jnp.float32),
         stats=jnp.zeros((L, C, STATS_W), jnp.float32),
     )
@@ -261,35 +261,38 @@ def _insert(keys_tab, keys, valid, probes: int, compact_to: int = 0,
     return keys_tab, slot_out
 
 
-def _update_layer_one(keys_tab, cnt, rec, stats, pts_w, var_w6, valid, vsize,
+def _update_layer_one(keys_tab, rec, stats, pts_w, var_w6, valid, vsize,
                       init_num, cfg: VoxelMapConfig, compact_to: int = 0):
     """Single-layer insert + refit (vmapped over layers). Mirrors
-    UpdateOctoTree/init_plane (voxel_map.cpp:219-290) as scatter-adds +
-    one batched closed-form eigendecomposition."""
-    C = cnt.shape[0]
+    UpdateOctoTree/init_plane (voxel_map.cpp:219-290) as ONE 16-wide
+    scatter-add (count rides in stats column 0) + one batched
+    closed-form eigendecomposition."""
+    C = stats.shape[0]
     keys = jnp.floor(pts_w / vsize).astype(jnp.int32)
     keys_tab, slots = _insert(keys_tab, keys, valid, cfg.probes,
                               compact_to=compact_to)
 
     ok = valid & (slots >= 0)
     s = jnp.where(ok, slots, 0)
-    # Freeze full voxels (update_enable_ flip, voxel_map.cpp:240-245).
-    frozen = cnt[s] >= cfg.max_points_num
+    # Freeze full voxels (update_enable_ flip, voxel_map.cpp:240-245):
+    # gate on the pre-update count (gather #1).
+    frozen = stats[s][:, 0] >= cfg.max_points_num
     ok = ok & ~frozen
     w = jnp.where(ok, slots, C)
 
     voxel_center = (keys.astype(jnp.float32) + 0.5) * vsize
     p_local = pts_w - voxel_center
     pp6 = sym6(p_local[:, :, None] * p_local[:, None, :])
-    contrib = jnp.concatenate([p_local, pp6, var_w6], axis=-1)  # (N, 15)
+    one_col = jnp.ones((pts_w.shape[0], 1), jnp.float32)
+    contrib = jnp.concatenate([one_col, p_local, pp6, var_w6], axis=-1)
 
-    cnt = cnt.at[w].add(1.0, mode="drop")
     stats = stats.at[w].add(contrib, mode="drop")
 
     # ---- refit touched voxels (init_plane, voxel_map.cpp:55-135) ----
-    n = cnt[s]
+    st16 = stats[s]  # gather #2: post-update count + moments in one row
+    n = st16[:, 0]
     n_safe = jnp.maximum(n, 1.0)
-    st = stats[s]
+    st = st16[:, 1:]
     mean_local = st[:, 0:3] / n_safe[:, None]
     cov6 = st[:, 3:9] / n_safe[:, None] - sym6(
         mean_local[:, :, None] * mean_local[:, None, :]
@@ -330,7 +333,7 @@ def _update_layer_one(keys_tab, cnt, rec, stats, pts_w, var_w6, valid, vsize,
     # points and still fails the plane fit. (Frozen voxels keep their
     # stats, so the recomputed classification equals the stored one.)
     descend = valid & (slots >= 0) & enough & (is_plane < 0.5)
-    return keys_tab, cnt, rec, stats, descend
+    return keys_tab, rec, stats, descend
 
 
 def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
@@ -365,17 +368,16 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     # (voxel_map.cpp:163-217). The descending subset is compacted to a
     # shrinking static budget, so deep-layer scatter traffic tracks the
     # (small) non-planar fraction of the scene instead of the full scan.
-    keys_l, cnt_l, rec_l, stats_l = [], [], [], []
+    keys_l, rec_l, stats_l = [], [], []
     cur_pts, cur_var, cur_valid = pts_w, var_w6, valid
     for li in range(cfg.n_layers):
-        k, c, r, st, descend = _update_layer_one(
-            vmap_state.keys[li], vmap_state.cnt[li], vmap_state.rec[li],
+        k, r, st, descend = _update_layer_one(
+            vmap_state.keys[li], vmap_state.rec[li],
             vmap_state.stats[li], cur_pts, cur_var, cur_valid,
             vs[li], inits[li], cfg,
             min(compact_to, cur_pts.shape[0]) if compact_to else 0,
         )
         keys_l.append(k)
-        cnt_l.append(c)
         rec_l.append(r)
         stats_l.append(st)
         if li + 1 < cfg.n_layers:
@@ -392,8 +394,8 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
             else:
                 cur_valid = cur_valid & descend
     return VoxelMap(
-        keys=jnp.stack(keys_l), cnt=jnp.stack(cnt_l),
-        rec=jnp.stack(rec_l), stats=jnp.stack(stats_l),
+        keys=jnp.stack(keys_l), rec=jnp.stack(rec_l),
+        stats=jnp.stack(stats_l),
     )
 
 
@@ -564,7 +566,7 @@ def map_keys(vmap_state: VoxelMap, layer: int) -> jnp.ndarray:
 
 
 def map_count(vmap_state: VoxelMap, layer: int) -> jnp.ndarray:
-    return vmap_state.cnt[layer].astype(jnp.int32)
+    return vmap_state.stats[layer][:, 0].astype(jnp.int32)
 
 
 def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
@@ -580,9 +582,9 @@ def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
     halves = jnp.asarray(
         [half_map_size * (1 << l) for l in range(cfg.n_layers)], jnp.int32
     )
-    C = vmap_state.cnt.shape[1]
+    C = vmap_state.stats.shape[1]
 
-    def one(keys_tab, cnt, rec, stats, vsize, half):
+    def one(keys_tab, rec, stats, vsize, half):
         ctr = jnp.floor(center_pos / vsize).astype(jnp.int32)
         occupied = keys_tab[:, 0] != EMPTY
         keep = occupied & jnp.all(jnp.abs(keys_tab - ctr) <= half, axis=-1)
@@ -597,10 +599,10 @@ def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
         def move(arr):
             return jnp.zeros_like(arr).at[dst].set(arr, mode="drop")
 
-        return fresh, move(cnt), move(rec), move(stats)
+        return fresh, move(rec), move(stats)
 
-    keys, cnt, rec, stats = jax.vmap(one)(
-        vmap_state.keys, vmap_state.cnt, vmap_state.rec, vmap_state.stats,
+    keys, rec, stats = jax.vmap(one)(
+        vmap_state.keys, vmap_state.rec, vmap_state.stats,
         vsizes, halves,
     )
-    return VoxelMap(keys=keys, cnt=cnt, rec=rec, stats=stats)
+    return VoxelMap(keys=keys, rec=rec, stats=stats)

@@ -37,9 +37,9 @@ class BatchedPipeline:
         self.cfg = cfg
         self.slam_mode = slam_mode
 
-        def one(packed, mkeys, mcnt, mrec, mstats, point, obs, obs_patch,
+        def one(packed, mkeys, mrec, mstats, point, obs, obs_patch,
                 alloc, imgs, ids, imu_pack, pts_pack, img, fid, first, use_vio):
-            vm = vmap_mod.VoxelMap(keys=mkeys, cnt=mcnt, rec=mrec, stats=mstats)
+            vm = vmap_mod.VoxelMap(keys=mkeys, rec=mrec, stats=mstats)
             pool = vio_mod.VisualPool(point=point, obs=obs,
                                       obs_patch=obs_patch, alloc=alloc)
             ring = vio_mod.FrameRing(imgs=imgs, ids=ids)
@@ -48,15 +48,15 @@ class BatchedPipeline:
                 first=first, use_vio=use_vio,
             )
             packed, vm, pool, ring, diag = out
-            return (packed, vm.keys, vm.cnt, vm.rec, vm.stats, pool.point,
+            return (packed, vm.keys, vm.rec, vm.stats, pool.point,
                     pool.obs, pool.obs_patch, pool.alloc, ring.imgs, ring.ids,
                     diag)
 
         self._vstep = jax.jit(
-            jax.vmap(one, in_axes=(0,) * 15 + (None, None),
+            jax.vmap(one, in_axes=(0,) * 14 + (None, None),
                      out_axes=0),
-            static_argnums=(15, 16),
-            donate_argnums=tuple(range(1, 11)),
+            static_argnums=(14, 15),
+            donate_argnums=tuple(range(1, 10)),
         )
 
         B = batch
@@ -66,7 +66,7 @@ class BatchedPipeline:
 
         self.packed = tile(pack_state(init_state(), init_cov()))
         m = vmap_mod.make_map(self.proto.map_cfg)
-        self.mkeys, self.mcnt = tile(m.keys), tile(m.cnt)
+        self.mkeys = tile(m.keys)
         self.mrec, self.mstats = tile(m.rec), tile(m.stats)
         p = vio_mod.make_pool(self.proto.vio_cfg)
         self.point, self.obs = tile(p.point), tile(p.obs)
@@ -137,12 +137,12 @@ class BatchedPipeline:
                 img_b = jnp.broadcast_to(dummy, (self.B,) + dummy.shape)
                 use_vio = False
             out = self._vstep(
-                self.packed, self.mkeys, self.mcnt, self.mrec, self.mstats,
+                self.packed, self.mkeys, self.mrec, self.mstats,
                 self.point, self.obs, self.obs_patch, self.alloc, self.imgs,
                 self.ids, jnp.stack(imu_b), jnp.stack(pts_b), img_b,
                 jnp.full((self.B,), frame_id, jnp.int32), first, use_vio,
             )
-            (self.packed, self.mkeys, self.mcnt, self.mrec, self.mstats,
+            (self.packed, self.mkeys, self.mrec, self.mstats,
              self.point, self.obs, self.obs_patch, self.alloc, self.imgs,
              self.ids, diag) = out
             if block_each:

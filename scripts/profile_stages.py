@@ -108,13 +108,10 @@ def main():
         res.state, cam, Rci, Pci, jnp.asarray(7, jnp.int32),
         jnp.asarray(7, jnp.int32), vcfg)[0])
     timeit("vio.generate_points", lambda: gen(pool2))
-    upd_obs = jax.jit(lambda pl: vio_mod.update_obs(
-        pl, submap, img, res.state, cam, Rci, Pci, jnp.asarray(7, jnp.int32),
-        jnp.asarray(7, jnp.int32), vcfg)[0])
-    timeit("vio.update_obs", lambda: upd_obs(pool2))
-    upd_ref = jax.jit(lambda pl: vio_mod.update_reference(
-        pl, m, map_cfg, submap, jnp.ones(submap.valid.shape[0], bool), vcfg))
-    timeit("vio.update_reference", lambda: upd_ref(pool2))
+    maint = jax.jit(lambda pl: vio_mod.maintain_points(
+        pl, m, map_cfg, submap, img, res.state, cam, Rci, Pci,
+        jnp.asarray(7, jnp.int32), jnp.asarray(7, jnp.int32), vcfg)[0])
+    timeit("vio.maintain_points (obs+ref)", lambda: maint(pool2))
     ring_i = jax.jit(lambda pl, rg: vio_mod.ring_insert(pl, rg, img,
                                                         jnp.asarray(9, jnp.int32), vcfg)[:2])
     timeit("vio.ring_insert", lambda: ring_i(pool2, ring2))
