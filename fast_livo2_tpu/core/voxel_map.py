@@ -114,8 +114,6 @@ class VoxelMapConfig(NamedTuple):
     probes: int = 8
     insert_compact: int = 0  # >0: compact unresolved keys to this many
     # lanes before the claim rounds (steady-state insert fast path)
-    descend_shrink: int = 2  # per-layer shrink of the descending point
-    # budget in update_map (N, N/2, N/4, ... — gated octree descent)
     planner_threshold: float = 0.0025  # min_eigen_value
     sigma_num: float = 3.0
     layer_init_num: Sequence[int] = (5, 5, 5, 5, 5)
@@ -261,81 +259,6 @@ def _insert(keys_tab, keys, valid, probes: int, compact_to: int = 0,
     return keys_tab, slot_out
 
 
-def _update_layer_one(keys_tab, rec, stats, pts_w, var_w6, valid, vsize,
-                      init_num, cfg: VoxelMapConfig, compact_to: int = 0):
-    """Single-layer insert + refit (vmapped over layers). Mirrors
-    UpdateOctoTree/init_plane (voxel_map.cpp:219-290) as ONE 16-wide
-    scatter-add (count rides in stats column 0) + one batched
-    closed-form eigendecomposition."""
-    C = stats.shape[0]
-    keys = jnp.floor(pts_w / vsize).astype(jnp.int32)
-    keys_tab, slots = _insert(keys_tab, keys, valid, cfg.probes,
-                              compact_to=compact_to)
-
-    ok = valid & (slots >= 0)
-    s = jnp.where(ok, slots, 0)
-    # Freeze full voxels (update_enable_ flip, voxel_map.cpp:240-245):
-    # gate on the pre-update count (gather #1).
-    frozen = stats[s][:, 0] >= cfg.max_points_num
-    ok = ok & ~frozen
-    w = jnp.where(ok, slots, C)
-
-    voxel_center = (keys.astype(jnp.float32) + 0.5) * vsize
-    p_local = pts_w - voxel_center
-    pp6 = sym6(p_local[:, :, None] * p_local[:, None, :])
-    one_col = jnp.ones((pts_w.shape[0], 1), jnp.float32)
-    contrib = jnp.concatenate([one_col, p_local, pp6, var_w6], axis=-1)
-
-    stats = stats.at[w].add(contrib, mode="drop")
-
-    # ---- refit touched voxels (init_plane, voxel_map.cpp:55-135) ----
-    st16 = stats[s]  # gather #2: post-update count + moments in one row
-    n = st16[:, 0]
-    n_safe = jnp.maximum(n, 1.0)
-    st = st16[:, 1:]
-    mean_local = st[:, 0:3] / n_safe[:, None]
-    cov6 = st[:, 3:9] / n_safe[:, None] - sym6(
-        mean_local[:, :, None] * mean_local[:, None, :]
-    )
-    cov = sym6_to_mat(cov6) + jnp.eye(3) * 1e-9
-    # Closed-form 3x3 eigensolver (ops/eig3): XLA's iterative eigh
-    # dominated compile+run time for these (N, 3, 3) batches.
-    evals, evecs = eig3.eigh3(cov)  # ascending
-    lam0, lam1, lam2 = evals[:, 0], evals[:, 1], evals[:, 2]
-    enough = n > init_num
-    is_plane = ((lam0 < cfg.planner_threshold) & enough).astype(jnp.float32)
-
-    center_w = voxel_center + mean_local
-    normal = evecs[:, :, 0]
-    d = -jnp.sum(normal * center_w, axis=-1)
-    radius = jnp.sqrt(jnp.clip(lam2, 0.0, None))
-
-    C_bar6 = st[:, 9:15] / n_safe[:, None]
-    sigma2 = (C_bar6[:, 0] + C_bar6[:, 3] + C_bar6[:, 5]) / 3.0
-    dmin = 1e-6
-    d1 = (lam1 + lam0) / (n_safe * jnp.maximum((lam0 - lam1) ** 2, dmin))
-    d2 = (lam2 + lam0) / (n_safe * jnp.maximum((lam0 - lam2) ** 2, dmin))
-    D = jnp.zeros_like(evals).at[:, 1].set(d1).at[:, 2].set(d2)
-    cov_nn = sigma2[:, None, None] * jnp.einsum("nik,nk,njk->nij", evecs, D, evecs)
-
-    rec_update = jnp.concatenate(
-        [
-            is_plane[:, None],
-            normal, d[:, None], center_w, radius[:, None],
-            sym6(cov_nn), C_bar6 / n_safe[:, None],
-        ],
-        axis=-1,
-    )  # (N, 21) — full rec rows
-    wf = jnp.where(ok & enough, slots, C)
-    rec = rec.at[wf].set(rec_update, mode="drop")
-    # Octree-descent mask (cut_octo_tree, voxel_map.cpp:163-217): a point
-    # continues to the next layer only when its voxel here has enough
-    # points and still fails the plane fit. (Frozen voxels keep their
-    # stats, so the recomputed classification equals the stored one.)
-    descend = valid & (slots >= 0) & enough & (is_plane < 0.5)
-    return keys_tab, rec, stats, descend
-
-
 def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
                valid: jnp.ndarray, cfg: VoxelMapConfig,
                mesh=None, compact: bool = False) -> VoxelMap:
@@ -343,6 +266,15 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     flat-layer equivalent of the octree's conditional subdivision —
     inactive layers are masked at query time). var_w: (N, 3, 3) or (N, 6)
     sym6 point world covariances.
+
+    Descent gating (cut_octo_tree, voxel_map.cpp:163-217): a point feeds
+    layer l+1 only if its layer-l voxel exists, has enough points, and
+    failed the plane fit. The gate reads the PRE-insert voxel state — so
+    subdivision takes effect one observation after the voxel crosses the
+    threshold, instead of within the same insert as the reference's
+    recursion. The payoff is that no layer's insert depends on another
+    layer's refit: all L layers run as ONE vmapped op set, so the
+    latency-bound random-access count is per-frame, not per-layer.
 
     SPMD contract: map *reads* (match_planes/query_plane) accept
     measurement arrays sharded over a mesh axis — gathers from the
@@ -361,42 +293,117 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     var_w6 = var_w if var_w.ndim == 2 else sym6(var_w)
     vs = layer_voxel_sizes(cfg)
     inits = layer_init_nums(cfg)
+    L, N = cfg.n_layers, pts_w.shape[0]
+    C = vmap_state.stats.shape[1]
     compact_to = cfg.insert_compact if compact else 0
-    # Sequential layers with gated descent: layer l+1 only sees the points
-    # whose layer-l voxel subdivided (enough points, failed plane fit) —
-    # the flat-array equivalent of the octree's conditional cut
-    # (voxel_map.cpp:163-217). The descending subset is compacted to a
-    # shrinking static budget, so deep-layer scatter traffic tracks the
-    # (small) non-planar fraction of the scene instead of the full scan.
-    keys_l, rec_l, stats_l = [], [], []
-    cur_pts, cur_var, cur_valid = pts_w, var_w6, valid
-    for li in range(cfg.n_layers):
-        k, r, st, descend = _update_layer_one(
-            vmap_state.keys[li], vmap_state.rec[li],
-            vmap_state.stats[li], cur_pts, cur_var, cur_valid,
-            vs[li], inits[li], cfg,
-            min(compact_to, cur_pts.shape[0]) if compact_to else 0,
-        )
-        keys_l.append(k)
-        rec_l.append(r)
-        stats_l.append(st)
-        if li + 1 < cfg.n_layers:
-            n_cur = cur_pts.shape[0]
-            n_next = max(n_cur // cfg.descend_shrink, 512)
-            if n_next < n_cur:
-                (idx,) = jnp.nonzero(cur_valid & descend, size=n_next,
-                                     fill_value=n_cur)
-                ok = idx < n_cur
-                idxc = jnp.minimum(idx, n_cur - 1)
-                cur_pts = cur_pts[idxc]
-                cur_var = cur_var[idxc]
-                cur_valid = ok
-            else:
-                cur_valid = cur_valid & descend
-    return VoxelMap(
-        keys=jnp.stack(keys_l), rec=jnp.stack(rec_l),
-        stats=jnp.stack(stats_l),
+    keys_L = jnp.floor(
+        pts_w[None, :, :] / vs[:, None, None]
+    ).astype(jnp.int32)  # (L, N, 3)
+
+    # Phase 1 — one vmapped windowed lookup over all layers, plus the
+    # pre-insert voxel meta (count, is_plane) the gates need.
+    slot0, found0, empty_rows = jax.vmap(
+        lambda tab, k: _lookup_window(tab, k, cfg.probes)
+    )(vmap_state.keys, keys_L)
+    sg = jnp.where(found0, slot0, 0)
+    cnt_pre = jnp.where(
+        found0, jax.vmap(lambda st, s: st[s, 0])(vmap_state.stats, sg), 0.0
     )
+    ispl_pre = found0 & (
+        jax.vmap(lambda rc, s: rc[s, _ISPL])(vmap_state.rec, sg) > 0.5
+    )
+
+    # Descent chain from the pre-insert states.
+    valid_l = [valid]
+    for li in range(1, L):
+        sub = found0[li - 1] & (cnt_pre[li - 1] > inits[li - 1]) & ~ispl_pre[li - 1]
+        valid_l.append(valid_l[-1] & sub)
+    valid_L = jnp.stack(valid_l)  # (L, N)
+
+    # Phase 2 — claim rounds for new keys (vmapped over layers; unresolved
+    # lanes optionally compacted as in _insert).
+    unresolved = valid_L & ~found0 & (empty_rows[:, :, 0] >= 0)
+
+    def claim_one(keys_tab, keys, targets, unres):
+        if compact_to and compact_to < N:
+            u = compact_to
+            (lane_idx,) = jnp.nonzero(unres, size=u, fill_value=N)
+            li = jnp.minimum(lane_idx, N - 1)
+            cu = lane_idx < N
+            keys_tab, cslot = _claim_rounds(keys_tab, keys[li], targets[li], cu)
+            slot_add = jnp.full((N,), -1, jnp.int32).at[
+                jnp.where(cu, lane_idx, N)
+            ].set(cslot, mode="drop")
+        else:
+            keys_tab, slot_add = _claim_rounds(keys_tab, keys, targets, unres)
+        return keys_tab, slot_add
+
+    keys_new, slot_add = jax.vmap(claim_one)(
+        vmap_state.keys, keys_L, empty_rows, unresolved
+    )
+    slots = jnp.where(found0, slot0, jnp.where(unresolved, slot_add, -1))
+
+    # Phase 3 — freeze gate, one 16-wide scatter-add, batched refit
+    # (init_plane, voxel_map.cpp:55-135), vmapped over layers.
+    frozen = cnt_pre >= cfg.max_points_num  # claimed slots have cnt_pre 0
+
+    def refit_one(keys, stats, rec, slots_l, valid_lane, frozen_l, vsize,
+                  init_num):
+        ok = valid_lane & (slots_l >= 0) & ~frozen_l
+        w = jnp.where(ok, slots_l, C)
+        voxel_center = (keys.astype(jnp.float32) + 0.5) * vsize
+        p_local = pts_w - voxel_center
+        pp6 = sym6(p_local[:, :, None] * p_local[:, None, :])
+        one_col = jnp.ones((N, 1), jnp.float32)
+        contrib = jnp.concatenate([one_col, p_local, pp6, var_w6], axis=-1)
+        stats = stats.at[w].add(contrib, mode="drop")
+
+        s = jnp.where(ok, slots_l, 0)
+        st16 = stats[s]  # post-update count + moments in one gathered row
+        n = st16[:, 0]
+        n_safe = jnp.maximum(n, 1.0)
+        st = st16[:, 1:]
+        mean_local = st[:, 0:3] / n_safe[:, None]
+        cov6 = st[:, 3:9] / n_safe[:, None] - sym6(
+            mean_local[:, :, None] * mean_local[:, None, :]
+        )
+        cov = sym6_to_mat(cov6) + jnp.eye(3) * 1e-9
+        evals, evecs = eig3.eigh3(cov)  # ascending
+        lam0, lam1, lam2 = evals[:, 0], evals[:, 1], evals[:, 2]
+        enough = n > init_num
+        is_plane = ((lam0 < cfg.planner_threshold) & enough).astype(jnp.float32)
+
+        center_w = voxel_center + mean_local
+        normal = evecs[:, :, 0]
+        d = -jnp.sum(normal * center_w, axis=-1)
+        radius = jnp.sqrt(jnp.clip(lam2, 0.0, None))
+
+        C_bar6 = st[:, 9:15] / n_safe[:, None]
+        sigma2 = (C_bar6[:, 0] + C_bar6[:, 3] + C_bar6[:, 5]) / 3.0
+        dmin = 1e-6
+        d1 = (lam1 + lam0) / (n_safe * jnp.maximum((lam0 - lam1) ** 2, dmin))
+        d2 = (lam2 + lam0) / (n_safe * jnp.maximum((lam0 - lam2) ** 2, dmin))
+        D = jnp.zeros_like(evals).at[:, 1].set(d1).at[:, 2].set(d2)
+        cov_nn = sigma2[:, None, None] * jnp.einsum(
+            "nik,nk,njk->nij", evecs, D, evecs
+        )
+        rec_update = jnp.concatenate(
+            [
+                is_plane[:, None],
+                normal, d[:, None], center_w, radius[:, None],
+                sym6(cov_nn), C_bar6 / n_safe[:, None],
+            ],
+            axis=-1,
+        )  # (N, 21) — full rec rows
+        wf = jnp.where(ok & enough, slots_l, C)
+        rec = rec.at[wf].set(rec_update, mode="drop")
+        return stats, rec
+
+    stats_new, rec_new = jax.vmap(refit_one)(
+        keys_L, vmap_state.stats, vmap_state.rec, slots, valid_L, frozen,
+        vs, inits,
+    )
+    return VoxelMap(keys=keys_new, rec=rec_new, stats=stats_new)
 
 
 class PlaneMatch(NamedTuple):
