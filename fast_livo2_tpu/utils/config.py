@@ -164,7 +164,7 @@ class TPUParams:
     max_points_down: int = 8192  # pad size after voxel-grid downsample
     max_imu_per_packet: int = 64  # pad size for the IMU batch per sync packet
     hash_capacity_log2: int = 18  # per-layer voxel hash slots (2^18 = 262144)
-    hash_probe_len: int = 8  # linear probes before giving up
+    hash_probe_len: int = 4  # linear probes before giving up
     insert_compact: int = 2048  # steady-state map insert: compact new
     # (unresolved) keys to this many lanes before the claim rounds; 0 off.
     # Lanes count POINTS in not-yet-mapped voxels; overflow drops to the
