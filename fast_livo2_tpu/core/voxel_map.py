@@ -15,10 +15,11 @@ fused single-array layout cost ~1 s/frame for exactly that reason):
 - `keys (L, C, 3)` int32 open-addressing keys: linear probing makes the
   probe window contiguous, so a lookup gathers rows h..h+P-1 in ONE
   windowed gather (N, P, 3) and resolves the chain in registers;
-- `rec (L, C, 21)` per-voxel query record
+- `rec (L, C, 22)` per-voxel query record
   [is_plane (0) | plane (1:9: normal,d,center,radius) |
-   plane_cov (9:21: cov_nn sym6, cov_qq sym6)] — one gather serves the
-  whole candidate gating;
+   plane_cov (9:21: cov_nn sym6, cov_qq sym6) | count (21)] — one gather
+  serves the whole candidate gating, and the count mirror lets the
+  insert path's pre-gating read count+is_plane in the same row;
 - running moments `stats (L, C, 16)` = [count | sum_p | sum_pp sym6 |
   sum_C sym6] (voxel-local coordinates, so the Σpp^T - mean mean^T
   cancellation is benign in float32), insert path only. The count rides
@@ -66,7 +67,9 @@ EMPTY = voxel_hash.EMPTY
 _ISPL = 0                # 1.0 if fitted plane
 _PL0, _PL1 = 1, 9        # plane: normal(3), d, center(3), radius
 _PC0, _PC1 = 9, 21       # plane_cov: cov_nn sym6, cov_qq sym6
-REC_W = 21
+_CNT = 21                # point count mirror (pre-insert gating reads it
+#                          together with is_plane in ONE row gather)
+REC_W = 22
 STATS_W = 16  # [count | sum_p(3) | sum_pp sym6 | sum_C sym6]
 
 
@@ -182,7 +185,9 @@ def _lookup_window(keys_tab, keys, probes: int, claim_rounds: int = None):
     return slot, found, empty_rows
 
 
-_CLAIM_ROUNDS = 3  # snapshot-empty claim rounds per insert
+_CLAIM_ROUNDS = 3  # snapshot-empty claim rounds per insert (losing keys
+# re-insert on the next frame that observes the voxel; 2 rounds measured
+# only ~0.7 ms cheaper and pushed single-shot insert drops past 2%)
 
 
 def _claim_rounds(keys_tab, keys, targets, unresolved):
@@ -306,12 +311,9 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
         lambda tab, k: _lookup_window(tab, k, cfg.probes)
     )(vmap_state.keys, keys_L)
     sg = jnp.where(found0, slot0, 0)
-    cnt_pre = jnp.where(
-        found0, jax.vmap(lambda st, s: st[s, 0])(vmap_state.stats, sg), 0.0
-    )
-    ispl_pre = found0 & (
-        jax.vmap(lambda rc, s: rc[s, _ISPL])(vmap_state.rec, sg) > 0.5
-    )
+    pre_rec = jax.vmap(lambda rc, s: rc[s])(vmap_state.rec, sg)  # (L, N, 22)
+    cnt_pre = jnp.where(found0, pre_rec[:, :, _CNT], 0.0)
+    ispl_pre = found0 & (pre_rec[:, :, _ISPL] > 0.5)
 
     # Descent chain from the pre-insert states.
     valid_l = [valid]
@@ -392,11 +394,14 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
                 is_plane[:, None],
                 normal, d[:, None], center_w, radius[:, None],
                 sym6(cov_nn), C_bar6 / n_safe[:, None],
+                n[:, None],  # count mirror for next frame's gating
             ],
             axis=-1,
-        )  # (N, 21) — full rec rows
-        wf = jnp.where(ok & enough, slots_l, C)
-        rec = rec.at[wf].set(rec_update, mode="drop")
+        )  # (N, 22) — full rec rows
+        # Written for EVERY touched voxel (not just fitted ones): the
+        # count mirror must stay fresh; below-threshold rows carry
+        # is_plane=0 so their plane fields are never consumed.
+        rec = rec.at[jnp.where(ok, slots_l, C)].set(rec_update, mode="drop")
         return stats, rec
 
     stats_new, rec_new = jax.vmap(refit_one)(
