@@ -144,56 +144,88 @@ def prepare_imu_batch(stamps: np.ndarray, gyr: np.ndarray, acc: np.ndarray,
 def propagate(state: NavState, cov: jnp.ndarray, batch: ImuBatch, noise: ImuNoise):
     """Forward-propagate state + covariance through one IMU batch.
 
-    Returns (state_prop, cov_prop, ImuPoses). Mirrors the per-sample loop
-    of IMU_Processing.cpp:327-431 as a lax.scan; padding intervals have
-    dt=0 and are exact no-ops.
+    Returns (state_prop, cov_prop, ImuPoses). Matches the per-sample
+    recursion of IMU_Processing.cpp:327-431 exactly, but evaluated as
+    PARALLEL PREFIXES instead of a sequential lax.scan (K dependent
+    19x19 matmul steps serialize on the device):
+
+    - the rotation chain R_i = R_0 ∏ Exp(w_j dt_j) is an associative scan
+      of 3x3 products (the increments depend only on the carried biases,
+      which are constant over the batch);
+    - with all R_i known, world accelerations are batch math and the v/p
+      chains are cumulative sums;
+    - the covariance recursion P <- F P F^T + Q is the composition of
+      affine maps (A, B) ∘ (A', B') = (A A', A B' A^T + B), which is
+      associative — one associative scan of (19,19) pairs yields the
+      full-batch transition, applied to P once.
+
+    Padding intervals have dt=0 and are exact no-ops (Exp=I, F=I, Q=0).
     """
     f32 = cov.dtype
-    eye19 = jnp.eye(DIM_STATE, dtype=f32)
+    K = batch.dt.shape[0]
+    dt = batch.dt
+    dt2 = dt * dt
+    w = batch.gyr - state.bias_g  # (K, 3)
+    a = batch.acc * (GRAVITY / noise.mean_acc_norm) - state.bias_a
 
-    def step(carry, inp):
-        R, p, v, P = carry
-        w_raw, a_raw, dt, offs_end, valid = inp
-        w = w_raw - state.bias_g
-        a = a_raw * (GRAVITY / noise.mean_acc_norm) - state.bias_a
+    mm = lambda x, y: jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST)
 
-        dExp = so3.exp(w, dt)
-        a_skew = so3.skew(a)
+    # Rotation prefix: R_incl[i] = R_0 Exp_0 ... Exp_i (post-step i).
+    dExp = so3.exp(w * dt[:, None])  # (K, 3, 3)
+    prod = jax.lax.associative_scan(mm, dExp)
+    R_incl = jnp.einsum("ij,kjl->kil", state.rot, prod)
+    R_start = jnp.concatenate([state.rot[None], R_incl[:-1]], axis=0)
 
-        F = eye19
-        F = F.at[0:3, 0:3].set(so3.exp(w, -dt))
-        F = F.at[0:3, 10:13].set(-jnp.eye(3, dtype=f32) * dt * noise.est_bias)
-        F = F.at[3:6, 7:10].set(jnp.eye(3, dtype=f32) * dt)
-        F = F.at[7:10, 0:3].set(-R @ a_skew * dt)
-        F = F.at[7:10, 13:16].set(-R * dt * noise.est_bias)
-        F = F.at[7:10, 16:19].set(jnp.eye(3, dtype=f32) * dt * noise.est_gravity)
+    # Velocity / position prefixes (reference uses post-step R for acc_w,
+    # :412-415).
+    acc_w = jnp.einsum("kij,kj->ki", R_incl, a) + state.grav
+    dv = acc_w * dt[:, None]
+    v_start = state.vel + jnp.cumsum(dv, axis=0) - dv
+    dp = v_start * dt[:, None] + 0.5 * acc_w * dt2[:, None]
+    p_start = state.pos + jnp.cumsum(dp, axis=0) - dp
+    v_end = v_start[-1] + dv[-1]
+    p_end = p_start[-1] + dp[-1]
+    R_end = R_incl[-1]
 
-        dt2 = dt * dt
-        Q = jnp.zeros((DIM_STATE, DIM_STATE), f32)
-        Q = Q.at[6, 6].set(noise.cov_inv_expo * dt2 * noise.est_exposure)
-        Q = Q.at[0:3, 0:3].set(jnp.diag(noise.cov_gyr) * dt2)
-        Q = Q.at[7:10, 7:10].set(R @ jnp.diag(noise.cov_acc) @ R.T * dt2)
-        Q = Q.at[10:13, 10:13].set(jnp.diag(noise.cov_bias_gyr) * dt2)
-        Q = Q.at[13:16, 13:16].set(jnp.diag(noise.cov_bias_acc) * dt2)
+    # Batched F_i / Q_i blocks (IMU_Processing.cpp:377-431), then ONE
+    # associative scan composing the affine covariance maps.
+    eyeK = jnp.broadcast_to(jnp.eye(DIM_STATE, dtype=f32), (K, DIM_STATE, DIM_STATE))
+    I3dt = jnp.eye(3, dtype=f32)[None] * dt[:, None, None]
+    F = eyeK
+    F = F.at[:, 0:3, 0:3].set(jnp.swapaxes(dExp, -1, -2))  # Exp(w, -dt)
+    F = F.at[:, 0:3, 10:13].set(-I3dt * noise.est_bias)
+    F = F.at[:, 3:6, 7:10].set(I3dt)
+    F = F.at[:, 7:10, 0:3].set(-mm(R_start, so3.skew(a)) * dt[:, None, None])
+    F = F.at[:, 7:10, 13:16].set(-R_start * dt[:, None, None] * noise.est_bias)
+    F = F.at[:, 7:10, 16:19].set(I3dt * noise.est_gravity)
 
-        P_new = F @ P @ F.T + Q
-
-        R_new = R @ dExp
-        acc_w = R_new @ a + state.grav  # reference uses post-step R (:412-415)
-        p_new = p + v * dt + 0.5 * acc_w * dt2
-        v_new = v + acc_w * dt
-
-        pose = (offs_end - dt, offs_end, R, p, v, acc_w, w, valid)
-        return (R_new, p_new, v_new, P_new), pose
-
-    init = (state.rot, state.pos, state.vel, cov)
-    (R_e, p_e, v_e, P_e), poses = jax.lax.scan(
-        step, init, (batch.gyr, batch.acc, batch.dt, batch.offs_end, batch.valid)
+    Q = jnp.zeros((K, DIM_STATE, DIM_STATE), f32)
+    Q = Q.at[:, 6, 6].set(noise.cov_inv_expo * dt2 * noise.est_exposure)
+    Q = Q.at[:, 0:3, 0:3].set(jnp.diag(noise.cov_gyr)[None] * dt2[:, None, None])
+    Racc = mm(R_start * noise.cov_acc[None, None, :], jnp.swapaxes(R_start, -1, -2))
+    Q = Q.at[:, 7:10, 7:10].set(Racc * dt2[:, None, None])
+    Q = Q.at[:, 10:13, 10:13].set(
+        jnp.diag(noise.cov_bias_gyr)[None] * dt2[:, None, None]
     )
-    state_out = state._replace(rot=so3.normalize_rotation(R_e), pos=p_e, vel=v_e)
-    imu_poses = ImuPoses(offs_start=poses[0], offs_end=poses[1], rot=poses[2],
-                         pos=poses[3], vel=poses[4], acc_w=poses[5],
-                         gyr_unbiased=poses[6], valid=poses[7])
+    Q = Q.at[:, 13:16, 13:16].set(
+        jnp.diag(noise.cov_bias_acc)[None] * dt2[:, None, None]
+    )
+
+    def compose(e1, e2):
+        A1, B1 = e1
+        A2, B2 = e2
+        return mm(A2, A1), mm(mm(A2, B1), jnp.swapaxes(A2, -1, -2)) + B2
+
+    A_all, B_all = jax.lax.associative_scan(compose, (F, Q))
+    A_T, B_T = A_all[-1], B_all[-1]
+    P_e = mm(mm(A_T, cov), A_T.T) + B_T
+
+    state_out = state._replace(rot=so3.normalize_rotation(R_end), pos=p_end,
+                               vel=v_end)
+    imu_poses = ImuPoses(offs_start=batch.offs_end - dt,
+                         offs_end=batch.offs_end, rot=R_start, pos=p_start,
+                         vel=v_start, acc_w=acc_w, gyr_unbiased=w,
+                         valid=batch.valid)
     return state_out, P_e, imu_poses
 
 
