@@ -242,14 +242,26 @@ def undistort(points: jnp.ndarray, t_offs: jnp.ndarray, poses: ImuPoses,
         R_i  = R_head Exp(w_i dt),  dt = t - offs_start_i
         T_ei = p_head + v_head dt + 0.5 a_i dt^2 - p_end
     """
-    idx = jnp.clip(jnp.searchsorted(poses.offs_end, t_offs, side="left"), 0,
-                   poses.offs_end.shape[0] - 1)
-    R_h = poses.rot[idx]            # (N, 3, 3)
-    p_h = poses.pos[idx]
-    v_h = poses.vel[idx]
-    a_h = poses.acc_w[idx]
-    w_h = poses.gyr_unbiased[idx]
-    dt = jnp.clip(t_offs - poses.offs_start[idx], 0.0, None)
+    # Interval index + pose fields via a one-hot matmul instead of
+    # searchsorted + 6 gathers: the pose table is tiny (K<=64 rows), so
+    # (N, K) comparisons and one (N, K) @ (K, 22) MXU matmul replace all
+    # random access (gathers are latency-bound on this link regardless of
+    # table size).
+    K = poses.offs_end.shape[0]
+    idx = jnp.sum(poses.offs_end[None, :] < t_offs[:, None], axis=1)
+    idx = jnp.clip(idx, 0, K - 1)
+    onehot = (idx[:, None] == jnp.arange(K)[None, :]).astype(points.dtype)
+    table = jnp.concatenate(
+        [poses.offs_start[:, None], poses.rot.reshape(K, 9), poses.pos,
+         poses.vel, poses.acc_w, poses.gyr_unbiased], axis=-1,
+    )  # (K, 22)
+    g = onehot @ table  # (N, 22)
+    R_h = g[:, 1:10].reshape(-1, 3, 3)
+    p_h = g[:, 10:13]
+    v_h = g[:, 13:16]
+    a_h = g[:, 16:19]
+    w_h = g[:, 19:22]
+    dt = jnp.clip(t_offs - g[:, 0], 0.0, None)
 
     R_i = R_h @ so3.exp(w_h * dt[:, None])
     T_ei = p_h + v_h * dt[:, None] + 0.5 * a_h * dt[:, None] ** 2 - state_end.pos
