@@ -310,13 +310,17 @@ def _warp_homography(cam, ring, sel_obs, sel_point, Rcw, Pcw, cfg: VIOConfig):
     y0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, h_img - 2)
     su = u - x0
     sv = vv - y0
-    slot_b = slot_c[:, None, None]
-    g = lambda xo, yo: ring.imgs[slot_b, y0 + yo, x0 + xo]
+    slot_b = slot_c[:, None, None, None, None]
+    # ONE block gather of all four bilinear taps (2x2 per sample) instead
+    # of four separate gathers — random access is latency-bound here.
+    oy = jnp.arange(2, dtype=jnp.int32).reshape(1, 1, 1, 2, 1)
+    ox = jnp.arange(2, dtype=jnp.int32).reshape(1, 1, 1, 1, 2)
+    blk = ring.imgs[slot_b, y0[..., None, None] + oy, x0[..., None, None] + ox]
     val = (
-        (1 - su) * (1 - sv) * g(0, 0)
-        + su * (1 - sv) * g(1, 0)
-        + (1 - su) * sv * g(0, 1)
-        + su * sv * g(1, 1)
+        (1 - su) * (1 - sv) * blk[..., 0, 0]
+        + su * (1 - sv) * blk[..., 0, 1]
+        + (1 - su) * sv * blk[..., 1, 0]
+        + su * sv * blk[..., 1, 1]
     )
     warp = jnp.where(inb, val, 0.0)  # (M, L, ps²)
     return search, warp, ref_ok
@@ -702,16 +706,19 @@ def generate_points(pool: VisualPool, img, pg_w, pg_normal, pg_var6, pg_valid,
 
     chosen = win >= 0
     gi = jnp.where(chosen, win, 0)
-    new_pos = pg_w[gi]
-    new_var6 = pg_var6[gi]
+    # One packed gather for the winners' pos/normal/cov rows.
+    g12 = jnp.concatenate([pg_w, pg_normal, pg_var6], axis=-1)[gi]  # (M, 12)
+    new_pos = g12[:, 0:3]
+    nrm = g12[:, 3:6]
+    new_var6 = g12[:, 6:12]
     # Normal sign: point it toward the camera (:867-890).
-    norm_cam = jnp.einsum("ij,mj->mi", Rcw, pg_normal[gi])
+    norm_cam = jnp.einsum("ij,mj->mi", Rcw, nrm)
     dir_cam = new_pos @ Rcw.T + Pcw
     dir_cam = dir_cam / jnp.maximum(
         jnp.linalg.norm(dir_cam, axis=-1, keepdims=True), 1e-9
     )
     flip = jnp.sum(dir_cam * norm_cam, axis=-1) < 0
-    new_normal = jnp.where(flip[:, None], -pg_normal[gi], pg_normal[gi])
+    new_normal = jnp.where(flip[:, None], -nrm, nrm)
 
     offset = jnp.cumsum(chosen.astype(jnp.int32)) - 1
     n_added = jnp.sum(chosen.astype(jnp.int32))
