@@ -82,7 +82,8 @@ def main():
     warm = min(6, n // 3)
     steady = rows[warm:]
     per_frame = [r["lio_s"] + r["vio_s"] for r in steady]
-    lat_ms = float(np.mean(per_frame)) * 1e3 if per_frame else 0.0
+    # Median: the remote relay injects multi-ms spikes on ~10% of frames.
+    lat_ms = float(np.median(per_frame)) * 1e3 if per_frame else 0.0
 
     est = [(t, p) for t, R, p in traj]
     rmse = synthetic.ate_rmse(est, seq.gt)
@@ -96,17 +97,21 @@ def main():
     from fast_livo2_tpu.core import pipeline as pipeline_mod
 
     pipeline_mod._BLOCK = False
-    pipe2 = LIVOPipeline(cfg, slam_mode=mode)
-    pipe2.process(seq, progress=False)
     import jax
 
-    jax.block_until_ready(pipe2.packed)
-    t_sync = time.perf_counter()
-    rows2 = pipe2.log.rows
-    warm2 = min(4, len(rows2) // 3)
-    n_steady = len(rows2) - 1 - warm2
-    span = t_sync - rows2[warm2]["t_wall"]
-    fps = n_steady / span if n_steady > 0 and span > 0 else 0.0
+    fps_runs = []
+    for _ in range(3):  # median-of-3: relay jitter swings single short runs
+        pipe2 = LIVOPipeline(cfg, slam_mode=mode)
+        pipe2.process(seq, progress=False)
+        jax.block_until_ready(pipe2.packed)
+        t_sync = time.perf_counter()
+        rows2 = pipe2.log.rows
+        warm2 = min(4, len(rows2) // 3)
+        n_steady = len(rows2) - 1 - warm2
+        span = t_sync - rows2[warm2]["t_wall"]
+        fps_runs.append(n_steady / span if n_steady > 0 and span > 0 else 0.0)
+    fps = float(np.median(fps_runs))
+    log(f"[bench] pipelined runs: {[round(f, 2) for f in fps_runs]}")
 
     extra = {}
     bsz = int(os.environ.get("BENCH_BATCH", "0"))
