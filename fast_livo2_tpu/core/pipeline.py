@@ -183,6 +183,7 @@ class LIVOPipeline:
             donate_argnums=(0,),
         )
         self._last_slide_pos = np.zeros(3)
+        self._pos_snapshot = None  # async d2h pose copy for the next check
 
     @property
     def state(self) -> NavState:
@@ -472,16 +473,26 @@ class LIVOPipeline:
                     img_dev, pts_pack[:, 0:3], pts_pack[:, 4] > 0.5, st
                 )
                 self._cloud_chunks.append((pts_pack[:, 0:3], colors, vis))
-            # Sliding check costs one d2h (latency-bound on remote links):
-            # sample every 10 frames — movement past sliding_thresh takes
-            # many frames anyway.
+            # Sliding check: a synchronous d2h here would stall the
+            # pipeline (~100 ms on remote links). Instead each check
+            # consumes the position snapshot STARTED at the previous check
+            # (already on host — no stall) and kicks off the next async
+            # copy; the 10-frame decision lag is harmless because crossing
+            # sliding_thresh takes many frames.
             if self.cfg.local_map.map_sliding_en and self.frame_id % 10 == 0:
-                pos = np.asarray(self.packed[9:12])
-                if np.linalg.norm(pos - self._last_slide_pos) > self.cfg.local_map.sliding_thresh:
-                    self._last_slide_pos = pos
-                    self.vmap_state = self._slide_jit(
-                        self.vmap_state, jnp.asarray(pos)
-                    )
+                snap = self._pos_snapshot
+                self._pos_snapshot = self.packed[9:12]
+                try:
+                    self._pos_snapshot.copy_to_host_async()
+                except AttributeError:
+                    pass  # CPU arrays
+                if snap is not None:
+                    pos = np.asarray(snap)
+                    if np.linalg.norm(pos - self._last_slide_pos) > self.cfg.local_map.sliding_thresh:
+                        self._last_slide_pos = pos
+                        self.vmap_state = self._slide_jit(
+                            self.vmap_state, jnp.asarray(pos)
+                        )
             if _BLOCK:
                 jax.block_until_ready(self.packed)
             if self.state_trace_en:
