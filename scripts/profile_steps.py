@@ -1,32 +1,22 @@
-"""Per-step TPU timing: compile + steady-state latency of the LIO and VIO
-jitted steps in isolation (run on the real chip; `python scripts/profile_steps.py`)."""
+"""Per-step TPU timing: compile + steady-state latency of the two jitted
+per-frame programs (the split-mode LIO half and VIO half) in isolation.
+Run on the real chip: `python scripts/profile_steps.py`."""
 
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fast_livo2_tpu.core.pipeline import LIVOPipeline
 from fast_livo2_tpu.core import imu as imu_mod
+from fast_livo2_tpu.core.pipeline import LIVOPipeline
 from fast_livo2_tpu.io import synthetic
-from fast_livo2_tpu.models import camera as cam_mod
 from fast_livo2_tpu.utils.config import CameraConfig, LIVOConfig
-
-
-def timeit(name, fn, n=10):
-    out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name}: {dt * 1e3:.2f} ms")
-    return out
 
 
 def main():
@@ -36,66 +26,91 @@ def main():
     cfg = LIVOConfig()
     cfg.camera = cam_cfg
     cfg.extrin_calib.Rcl = list(synthetic.R_CI_FORWARD.reshape(-1))
+    cfg.preprocess.filter_size_surf = 0.15
     pipe = LIVOPipeline(cfg, slam_mode="livo")
     pipe.noise = imu_mod.make_noise()
 
     rng = np.random.default_rng(0)
     n_raw = cfg.tpu.max_points_per_scan
-    pts = jnp.asarray(rng.uniform(-5, 5, (n_raw, 3)).astype(np.float32))
-    offs = jnp.asarray(rng.uniform(0, 0.1, n_raw).astype(np.float32))
-    valid = jnp.ones(n_raw, bool)
+    pack = np.zeros((n_raw, 5), np.float32)
+    pack[:, 0:3] = rng.uniform(-5, 5, (n_raw, 3))
+    pack[:, 3] = rng.uniform(0, 0.1, n_raw)
+    pack[:, 4] = 1.0
+    pts_pack = jnp.asarray(pack)
     stamps = np.arange(22) / 200.0
-    batch = imu_mod.prepare_imu_batch(
+    b = imu_mod.prepare_imu_batch(
         stamps, rng.normal(size=(22, 3)) * 0.1,
-        np.tile([0, 0, 9.81], (22, 1)), 0.0, 0.105, cfg.tpu.max_imu_per_packet)
-
-    t0 = time.perf_counter()
-    out = pipe._lio_jit(pipe.state, pipe.cov, pipe.vmap_state, batch, pts, offs,
-                        valid, first=True)
-    jax.block_until_ready(out)
-    print(f"lio first=True compile+run: {time.perf_counter() - t0:.1f} s")
-    pipe.vmap_state = out[2]
-
-    t0 = time.perf_counter()
-    out = pipe._lio_jit(pipe.state, pipe.cov, pipe.vmap_state, batch, pts, offs,
-                        valid, first=False)
-    jax.block_until_ready(out)
-    print(f"lio first=False compile+run: {time.perf_counter() - t0:.1f} s")
-    pipe.vmap_state = out[2]
-
-    def lio_call():
-        nonlocal_out = pipe._lio_jit(pipe.state, pipe.cov, pipe.vmap_state,
-                                     batch, pts, offs, valid, first=False)
-        pipe.vmap_state = nonlocal_out[2]
-        return nonlocal_out[0]
-    timeit("lio steady", lio_call)
-
+        np.tile([0, 0, 9.81], (22, 1)), 0.0, 0.105,
+        cfg.tpu.max_imu_per_packet)
+    imu_pack = jnp.concatenate(
+        [b.gyr, b.acc, b.dt[:, None], b.offs_end[:, None],
+         b.valid[:, None]], axis=-1)
     img = jnp.asarray(rng.uniform(0, 255, (512, 640)).astype(np.float32))
-    pg_w, pg_n, pg_v, pg_val = out[3], out[4], out[5], out[6]
+    fid = jnp.asarray(0, jnp.int32)
+
+    # first=True builds the map
     t0 = time.perf_counter()
-    res = pipe._vio_jit(pipe.state, pipe.cov, pipe.pool, pipe.ring,
-                        pipe.vmap_state, img, pg_w, pg_n, pg_v, pg_val,
-                        jnp.asarray(0, jnp.int32))
-    jax.block_until_ready(res.state)
-    print(f"vio compile+run: {time.perf_counter() - t0:.1f} s")
-    pipe.pool, pipe.ring = res.pool, res.ring
+    out = pipe._frame_jit(pipe.packed, pipe.vmap_state, pipe.pool, pipe.ring,
+                          imu_pack, pts_pack, img, fid,
+                          first=True, use_vio=False, emit_pg=True)
+    jax.block_until_ready(out[0])
+    print(f"frame first=True compile+run: {time.perf_counter() - t0:.1f} s")
+    pipe.packed, pipe.vmap_state, pipe.pool, pipe.ring = out[:4]
 
-    fid = [1]
-    def vio_call():
-        res = pipe._vio_jit(pipe.state, pipe.cov, pipe.pool, pipe.ring,
-                            pipe.vmap_state, img, pg_w, pg_n, pg_v, pg_val,
-                            jnp.asarray(fid[0], jnp.int32))
-        fid[0] += 1
-        pipe.pool, pipe.ring = res.pool, res.ring
-        return res.state
-    timeit("vio steady", vio_call)
+    def lio_half():
+        out = pipe._frame_jit(pipe.packed, pipe.vmap_state, pipe.pool,
+                              pipe.ring, imu_pack, pts_pack, img, fid,
+                              first=False, use_vio=False, emit_pg=True)
+        pipe.packed, pipe.vmap_state, pipe.pool, pipe.ring = out[:4]
+        return out
 
-    # host->device transfer cost of per-frame inputs
+    t0 = time.perf_counter()
+    out = lio_half()
+    jax.block_until_ready(out[0])
+    print(f"lio half compile+run: {time.perf_counter() - t0:.1f} s")
+    pg_pack = out[5]
+
+    for name, fn, n in [("lio half", lio_half, 10)]:
+        fn()
+        jax.block_until_ready(pipe.packed)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        jax.block_until_ready(pipe.packed)
+        print(f"{name} steady: {(time.perf_counter() - t0) / n * 1e3:.2f} ms")
+
+    t0 = time.perf_counter()
+    vout = pipe._vio_half_jit(pipe.packed, pipe.pool, pipe.ring,
+                              pipe.vmap_state, img, pg_pack, fid)
+    jax.block_until_ready(vout[0])
+    print(f"vio half compile+run: {time.perf_counter() - t0:.1f} s")
+    pipe.packed, pipe.pool, pipe.ring = vout[:3]
+
+    def vio_half():
+        vout = pipe._vio_half_jit(pipe.packed, pipe.pool, pipe.ring,
+                                  pipe.vmap_state, img, pg_pack, fid)
+        pipe.packed, pipe.pool, pipe.ring = vout[:3]
+        return vout
+
+    vio_half()
+    jax.block_until_ready(pipe.packed)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        vio_half()
+    jax.block_until_ready(pipe.packed)
+    print(f"vio half steady: {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms")
+
+    img_host = np.asarray(img)  # hoisted: d2h is NOT part of the h2d cost
+
     def h2d():
-        a = jax.device_put(np.asarray(img))
-        b = jax.device_put(np.asarray(pts))
-        return a, b
-    timeit("h2d img+points", h2d)
+        return jax.device_put(img_host), jax.device_put(pack)
+
+    h2d()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        a, b2 = h2d()
+    jax.block_until_ready(a)
+    print(f"h2d img+points: {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms")
 
 
 if __name__ == "__main__":
