@@ -310,17 +310,18 @@ def _warp_homography(cam, ring, sel_obs, sel_point, Rcw, Pcw, cfg: VIOConfig):
     y0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, h_img - 2)
     su = u - x0
     sv = vv - y0
-    slot_b = slot_c[:, None, None, None, None]
-    # ONE block gather of all four bilinear taps (2x2 per sample) instead
-    # of four separate gathers — random access is latency-bound here.
-    oy = jnp.arange(2, dtype=jnp.int32).reshape(1, 1, 1, 2, 1)
-    ox = jnp.arange(2, dtype=jnp.int32).reshape(1, 1, 1, 1, 2)
-    blk = ring.imgs[slot_b, y0[..., None, None] + oy, x0[..., None, None] + ox]
+    # All four bilinear taps as ONE flat scalar gather: a (M, L, ps², 4)
+    # index tensor into the flattened ring. XLA lowers flat scalar gathers
+    # ~5x faster than the equivalent multi-dim (slot, y+oy, x+ox) block
+    # gather on this chip (5.9 -> 1.25 ms at 396x3x64 samples).
+    base = slot_c[:, None, None] * (h_img * w_img) + y0 * w_img + x0
+    taps = jnp.stack([base, base + 1, base + w_img, base + w_img + 1], axis=-1)
+    blk = ring.imgs.reshape(-1)[taps]  # (M, L, ps², 4) = [tl, tr, bl, br]
     val = (
-        (1 - su) * (1 - sv) * blk[..., 0, 0]
-        + su * (1 - sv) * blk[..., 0, 1]
-        + (1 - su) * sv * blk[..., 1, 0]
-        + su * sv * blk[..., 1, 1]
+        (1 - su) * (1 - sv) * blk[..., 0]
+        + su * (1 - sv) * blk[..., 1]
+        + (1 - su) * sv * blk[..., 2]
+        + su * sv * blk[..., 3]
     )
     warp = jnp.where(inb, val, 0.0)  # (M, L, ps²)
     return search, warp, ref_ok
