@@ -46,8 +46,11 @@ def main():
         cam_fx=400.0, cam_fy=400.0, cam_cx=320.0, cam_cy=256.0)
     cam = cam_mod.make_camera(cam_cfg)
 
-    cache = "/tmp/flv_bench_seq"
-    import os
+    # 10 s (~100 frames): the remote relay injects multi-hundred-ms
+    # hiccups; a short steady-state window swings the pipelined fps by
+    # ±40%, a ~6 s measured span amortizes them.
+    duration = float(os.environ.get("BENCH_DURATION", "10.0"))
+    cache = f"/tmp/flv_bench_seq_{duration:g}"
 
     from fast_livo2_tpu.io import dataset as ds
     if os.path.exists(os.path.join(cache, "imu.npz")):
@@ -56,8 +59,9 @@ def main():
     else:
         log("[bench] generating synthetic sequence...")
         seq = synthetic.make_sequence(
-            duration=3.6, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
-            seed=0, n_lines=24, n_per_line=1000, render=True, fov_deg=360.0,
+            duration=duration, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
+            cam=cam, seed=0, n_lines=24, n_per_line=1000, render=True,
+            fov_deg=360.0,
         )
         ds.save_sequence(cache, seq)
     log(f"[bench] sequence ready in {time.time() - t0:.1f}s: "

@@ -48,7 +48,7 @@ def main():
                            scale=1.0, cam_fx=400.0, cam_fy=400.0,
                            cam_cx=320.0, cam_cy=256.0)
     cam = cam_mod.make_camera(cam_cfg)
-    cache = "/tmp/flv_bench_seq"
+    cache = "/tmp/flv_bench_seq_10"
     if not os.path.exists(os.path.join(cache, "imu.npz")):
         print("no cached sequence; run bench.py once first", file=sys.stderr)
         sys.exit(1)
