@@ -73,6 +73,7 @@ def main():
     cfg.extrin_calib.Pcl = [0.0, 0.0, 0.0]
     cfg.preprocess.filter_size_surf = 0.15
     cfg.tpu.fused_frame = os.environ.get("BENCH_FUSED", "0") == "1"
+    cfg.tpu.lio_rematch_fresh = os.environ.get("BENCH_REMATCH", "1") == "1"
     mode = os.environ.get("BENCH_MODE", "livo")  # bisection aid
     if os.environ.get("BENCH_LAYERS"):
         cfg.lio.max_layer = int(os.environ["BENCH_LAYERS"]) - 1

@@ -262,6 +262,7 @@ class LIVOPipeline:
             self.ext_R, self.ext_T, self.map_cfg,
             dept_err=cfg.lio.dept_err, beam_err=cfg.lio.beam_err,
             max_iterations=cfg.lio.max_iterations if "lio" not in _SKIP else 1,
+            rematch_fresh=cfg.tpu.lio_rematch_fresh,
         )
         if "map" not in _SKIP:
             vmap_state = vmap_mod.update_map(
