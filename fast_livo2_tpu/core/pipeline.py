@@ -94,6 +94,7 @@ class LIVOPipeline:
             layer_init_num=tuple(cfg.lio.layer_init_num),
             max_points_num=cfg.lio.max_points_num,
             insert_compact=t.insert_compact,
+            descend_compact=t.descend_compact,
         )
         self.cam = cam_mod.make_camera(cfg.camera)
         gs, gnw, gnh = vio_mod.derive_grid(self.cam, cfg.vio.grid_size, cfg.vio.grid_n_height)

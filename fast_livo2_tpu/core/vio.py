@@ -206,6 +206,14 @@ class Submap(NamedTuple):
     ref_expo: jnp.ndarray  # (M,)
     propa_error: jnp.ndarray  # (M,) pre-update photometric error
     ref_meta: jnp.ndarray  # (M, 15) [px(2) | R_cw(9) | t(3) | ring slot]
+    # Pool rows gathered once during retrieval and threaded through to the
+    # maintenance stage (random-access ops are latency-bound; re-gathering
+    # the same rows there would cost ~2 ms/frame). point_rows carries the
+    # retrieval's ref-slot cache updates. None for submaps built outside
+    # retrieve() that never reach the maintenance stage.
+    point_rows: jnp.ndarray = None  # (M, 19)
+    obs_rows: jnp.ndarray = None  # (M, K, 20)
+    patch_rows: jnp.ndarray = None  # (M, K, ps²)
 
 
 def rasterize_depth(cam: cam_mod.Camera, Rcw, Pcw, pg_w, pg_valid, border):
@@ -398,13 +406,12 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
         prev_ref,
         jnp.where(n_obs_sel == 1, first_obs, best_obs),
     )
-    # persist chosen refs (pt->ref_patch caching, :689-692): full-row RMW
+    # Chosen refs (pt->ref_patch caching, :689-692) ride the threaded
+    # point_rows to the maintenance stage's single scatter instead of a
+    # dedicated write here (lanes gated out later simply re-select their
+    # ref next frame).
     new_point_rows = sel_point.at[:, _P_REF].set(ref_slot.astype(jnp.float32))
     new_point_rows = new_point_rows.at[:, _P_HASREF].set(1.0)
-    widx = jnp.where(sel, pidx, P)
-    pool = pool._replace(
-        point=pool.point.at[widx].set(new_point_rows, mode="drop")
-    )
 
     sel_ref_obs = jnp.take_along_axis(
         sel_obs_rows, ref_slot[:, None, None], axis=1
@@ -441,6 +448,9 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
         ref_expo=ref_expo,
         propa_error=err0,
         ref_meta=ref_meta,
+        point_rows=new_point_rows,
+        obs_rows=sel_obs_rows,
+        patch_rows=sel_patches,
     )
     return submap, pool
 
@@ -676,13 +686,13 @@ def _make_obs_row(px, Rcw, Pcw, expo, frame_slot, frame_id, mean, score, M):
     )
 
 
-def generate_points(pool: VisualPool, img, pg_w, pg_normal, pg_var6, pg_valid,
-                    cell_occupied, state: NavState, cam: cam_mod.Camera,
-                    Rci, Pci, frame_id, frame_slot, cfg: VIOConfig):
-    """Create new visual map points from the current scan: best Shi-Tomasi
-    candidate per empty grid cell (generateVisualMapPoints,
-    vio.cpp:804-906). Allocation wraps the pool (oldest slots recycled).
-    pg_var6: (N, 6) sym6 point covariances. Returns (pool, n_added)."""
+def _generate_rows(pool_alloc, img, pg_w, pg_normal, pg_var6, pg_valid,
+                   cell_occupied, state: NavState, cam: cam_mod.Camera,
+                   Rci, Pci, frame_id, frame_slot, cfg: VIOConfig):
+    """Row-level core of new-point generation (generateVisualMapPoints,
+    vio.cpp:804-906): best Shi-Tomasi candidate per empty grid cell.
+    Returns (slot (M,) with P for dropped, point_rows, obs_rows,
+    patch_rows, n_added)."""
     ps = cfg.patch_size
     M = n_cells(cfg)
     P = cfg.pool_capacity
@@ -724,7 +734,7 @@ def generate_points(pool: VisualPool, img, pg_w, pg_normal, pg_var6, pg_valid,
     offset = jnp.cumsum(chosen.astype(jnp.int32)) - 1
     n_added = jnp.sum(chosen.astype(jnp.int32))
     slot = jnp.where(
-        chosen, (pool.alloc.astype(jnp.int32) + offset) % P, P
+        chosen, (pool_alloc.astype(jnp.int32) + offset) % P, P
     )  # drop when P
 
     new_px = cam_mod.world2cam(cam, new_pos @ Rcw.T + Pcw)
@@ -744,7 +754,20 @@ def generate_points(pool: VisualPool, img, pg_w, pg_normal, pg_var6, pg_valid,
                          frame_id, jnp.mean(patch, axis=-1), jnp.zeros(M), M)
     obs_rows = jnp.zeros((M, K, OBS_W)).at[:, 0, :].set(obs0)
     patch_rows = jnp.zeros((M, K, ps * ps)).at[:, 0, :].set(patch)
+    return slot, point_rows, obs_rows, patch_rows, n_added
 
+
+def generate_points(pool: VisualPool, img, pg_w, pg_normal, pg_var6, pg_valid,
+                    cell_occupied, state: NavState, cam: cam_mod.Camera,
+                    Rci, Pci, frame_id, frame_slot, cfg: VIOConfig):
+    """Standalone new-point generation (row core + scatter); vio_step uses
+    the fused generate+maintain scatter instead. Allocation wraps the pool
+    (oldest slots recycled). pg_var6: (N, 6) sym6 point covariances.
+    Returns (pool, n_added)."""
+    slot, point_rows, obs_rows, patch_rows, n_added = _generate_rows(
+        pool.alloc, img, pg_w, pg_normal, pg_var6, pg_valid, cell_occupied,
+        state, cam, Rci, Pci, frame_id, frame_slot, cfg,
+    )
     pool = pool._replace(
         point=pool.point.at[slot].set(point_rows, mode="drop"),
         obs=pool.obs.at[slot].set(obs_rows, mode="drop"),
@@ -831,7 +854,7 @@ def update_obs(pool: VisualPool, submap: Submap, img, state: NavState,
     P = cfg.pool_capacity
     pidx = submap.point_idx
     point_rows, obs_rows, patches, add = _update_obs_rows(
-        pool.point[pidx], pool.obs[pidx], pool.obs_patch[pidx], submap, img,
+        submap.point_rows, submap.obs_rows, submap.patch_rows, submap, img,
         state, cam, Rci, Pci, frame_id, frame_slot, cfg,
     )
     wp = jnp.where(submap.valid, pidx, P)
@@ -926,7 +949,7 @@ def update_reference(pool: VisualPool, vmap_state: VoxelMap,
     P = cfg.pool_capacity
     pidx = submap.point_idx
     point_rows, obs_rows = _update_reference_rows(
-        pool.point[pidx], pool.obs[pidx], pool.obs_patch[pidx],
+        submap.point_rows, submap.obs_rows, submap.patch_rows,
         vmap_state, map_cfg, submap, updated, cfg,
     )
     wl = jnp.where(submap.valid, pidx, P)
@@ -949,7 +972,7 @@ def maintain_points(pool: VisualPool, vmap_state: VoxelMap,
     P = cfg.pool_capacity
     pidx = submap.point_idx
     point_rows, obs_rows, patches, add = _update_obs_rows(
-        pool.point[pidx], pool.obs[pidx], pool.obs_patch[pidx], submap, img,
+        submap.point_rows, submap.obs_rows, submap.patch_rows, submap, img,
         state, cam, Rci, Pci, frame_id, frame_slot, cfg,
     )
     point_rows, obs_rows = _update_reference_rows(
@@ -962,6 +985,50 @@ def maintain_points(pool: VisualPool, vmap_state: VoxelMap,
         obs_patch=pool.obs_patch.at[wp].set(patches, mode="drop"),
     )
     return pool, add
+
+
+def generate_and_maintain(pool: VisualPool, vmap_state: VoxelMap,
+                          map_cfg: VoxelMapConfig, submap: Submap, img,
+                          pg_w, pg_normal, pg_var6, pg_valid,
+                          state: NavState, cam: cam_mod.Camera, Rci, Pci,
+                          frame_id, frame_slot, cfg: VIOConfig):
+    """Fused new-point generation + observation update + reference
+    refinement with ONE scatter per pool array: random-access ops on this
+    chip are latency-bound (~0.7 ms floor each regardless of row count),
+    so concatenating the two stages' row writes halves the maintenance
+    scatter count. Maintained rows that collide with a freshly allocated
+    slot (pool wrap recycling a currently-tracked point) are dropped in
+    favor of the new point — the reference's recycle-oldest semantics.
+    Returns (pool, n_tracked_updated, n_added)."""
+    P = cfg.pool_capacity
+    pidx = submap.point_idx
+    point_m, obs_m, patch_m, add = _update_obs_rows(
+        submap.point_rows, submap.obs_rows, submap.patch_rows, submap, img,
+        state, cam, Rci, Pci, frame_id, frame_slot, cfg,
+    )
+    point_m, obs_m = _update_reference_rows(
+        point_m, obs_m, patch_m, vmap_state, map_cfg, submap, add, cfg,
+    )
+    slot_g, point_g, obs_g, patch_g, n_added = _generate_rows(
+        pool.alloc, img, pg_w, pg_normal, pg_var6, pg_valid, submap.valid,
+        state, cam, Rci, Pci, frame_id, frame_slot, cfg,
+    )
+    wp = jnp.where(submap.valid, pidx, P)
+    # Drop maintained rows whose slot is being re-allocated this frame
+    # (deterministic winner instead of XLA's unspecified duplicate order).
+    collide = jnp.any(wp[:, None] == slot_g[None, :], axis=1)
+    wp = jnp.where(collide, P, wp)
+    idx = jnp.concatenate([wp, slot_g])
+    pool = pool._replace(
+        point=pool.point.at[idx].set(
+            jnp.concatenate([point_m, point_g]), mode="drop"),
+        obs=pool.obs.at[idx].set(
+            jnp.concatenate([obs_m, obs_g]), mode="drop"),
+        obs_patch=pool.obs_patch.at[idx].set(
+            jnp.concatenate([patch_m, patch_g]), mode="drop"),
+        alloc=pool.alloc + n_added.astype(jnp.float32),
+    )
+    return pool, add, n_added
 
 
 def ring_insert(pool: VisualPool, ring: FrameRing, img, frame_id, cfg: VIOConfig):
@@ -981,8 +1048,11 @@ def ring_insert(pool: VisualPool, ring: FrameRing, img, frame_id, cfg: VIOConfig
     new_valid = obs_valid & ~evicted
     obs = pool.obs.at[:, :, _O_VALID].set(new_valid.astype(jnp.float32))
     # Points whose ref obs died lose the cached ref; 0-obs points die.
+    # One-hot reduce instead of take_along_axis: a (P,)-row gather is
+    # latency-bound (~ms) while the (P, K) vector compare is free.
     ref_slot = pool.point[:, _P_REF].astype(jnp.int32)
-    ref_alive = jnp.take_along_axis(new_valid, ref_slot[:, None], axis=1)[:, 0]
+    oh = ref_slot[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, cfg.max_obs), 1)
+    ref_alive = jnp.any(new_valid & oh, axis=1)
     point = pool.point.at[:, _P_HASREF].set(
         pool.point[:, _P_HASREF] * ref_alive.astype(jnp.float32)
     )
@@ -1049,13 +1119,9 @@ def vio_step(state_prop: NavState, cov_prop, pool: VisualPool, ring: FrameRing,
         pg_var6 = jnp.concatenate([pg_var6, rc_var6])
         pg_valid = jnp.concatenate([pg_valid, rc_ok])
 
-    pool, n_added = generate_points(
-        pool, img, pg_w, pg_normal, pg_var6, pg_valid, submap.valid, state, cam,
-        Rci, Pci, frame_id, frame_slot, cfg
-    )
-    pool, updated = maintain_points(
-        pool, vmap_state, map_cfg, submap, img, state, cam, Rci, Pci,
-        frame_id, frame_slot, cfg
+    pool, updated, n_added = generate_and_maintain(
+        pool, vmap_state, map_cfg, submap, img, pg_w, pg_normal, pg_var6,
+        pg_valid, state, cam, Rci, Pci, frame_id, frame_slot, cfg
     )
 
     return VIOStepResult(

@@ -117,6 +117,13 @@ class VoxelMapConfig(NamedTuple):
     probes: int = 8
     insert_compact: int = 0  # >0: compact unresolved keys to this many
     # lanes before the claim rounds (steady-state insert fast path)
+    descend_compact: int = 0  # >0: steady-state inserts process layers
+    # >= 1 only for points whose layer-0 voxel failed the plane test,
+    # compacted to this many lanes (the octree only subdivides non-planar
+    # voxels, so descending points are a small fraction; random-access
+    # cost is per-row, so compaction cuts the fine layers' lookup/refit
+    # traffic ~(N/descend_compact)x). Overflow lanes skip the fine layers
+    # this frame.
     planner_threshold: float = 0.0025  # min_eigen_value
     sigma_num: float = 3.0
     layer_init_num: Sequence[int] = (5, 5, 5, 5, 5)
@@ -264,6 +271,86 @@ def _insert(keys_tab, keys, valid, probes: int, compact_to: int = 0,
     return keys_tab, slot_out
 
 
+def _claim_compacted(keys_tab, keys, targets, unres, compact_to: int):
+    """Claim rounds with optional lane compaction (the steady-state insert
+    fast path: new keys are a few percent of the batch). Returns
+    (keys_tab, slot_add (N,) with -1 for unclaimed)."""
+    N = keys.shape[0]
+    if compact_to and compact_to < N:
+        u = compact_to
+        (lane_idx,) = jnp.nonzero(unres, size=u, fill_value=N)
+        li = jnp.minimum(lane_idx, N - 1)
+        cu = lane_idx < N
+        keys_tab, cslot = _claim_rounds(keys_tab, keys[li], targets[li], cu)
+        slot_add = jnp.full((N,), -1, jnp.int32).at[
+            jnp.where(cu, lane_idx, N)
+        ].set(cslot, mode="drop")
+    else:
+        keys_tab, slot_add = _claim_rounds(keys_tab, keys, targets, unres)
+    return keys_tab, slot_add
+
+
+def _refit_layer(keys, stats, rec, slots_l, valid_lane, frozen_l, vsize,
+                 init_num, pts, var6, cfg: VoxelMapConfig):
+    """Phase 3 of the insert for ONE layer: freeze gate, one 16-wide
+    scatter-add of the running moments, batched closed-form refit
+    (init_plane, voxel_map.cpp:55-135). Returns (stats, rec)."""
+    N = pts.shape[0]
+    C = stats.shape[0]
+    ok = valid_lane & (slots_l >= 0) & ~frozen_l
+    w = jnp.where(ok, slots_l, C)
+    voxel_center = (keys.astype(jnp.float32) + 0.5) * vsize
+    p_local = pts - voxel_center
+    pp6 = sym6(p_local[:, :, None] * p_local[:, None, :])
+    one_col = jnp.ones((N, 1), jnp.float32)
+    contrib = jnp.concatenate([one_col, p_local, pp6, var6], axis=-1)
+    stats = stats.at[w].add(contrib, mode="drop")
+
+    s = jnp.where(ok, slots_l, 0)
+    st16 = stats[s]  # post-update count + moments in one gathered row
+    n = st16[:, 0]
+    n_safe = jnp.maximum(n, 1.0)
+    st = st16[:, 1:]
+    mean_local = st[:, 0:3] / n_safe[:, None]
+    cov6 = st[:, 3:9] / n_safe[:, None] - sym6(
+        mean_local[:, :, None] * mean_local[:, None, :]
+    )
+    cov = sym6_to_mat(cov6) + jnp.eye(3) * 1e-9
+    evals, evecs = eig3.eigh3(cov)  # ascending
+    lam0, lam1, lam2 = evals[:, 0], evals[:, 1], evals[:, 2]
+    enough = n > init_num
+    is_plane = ((lam0 < cfg.planner_threshold) & enough).astype(jnp.float32)
+
+    center_w = voxel_center + mean_local
+    normal = evecs[:, :, 0]
+    d = -jnp.sum(normal * center_w, axis=-1)
+    radius = jnp.sqrt(jnp.clip(lam2, 0.0, None))
+
+    C_bar6 = st[:, 9:15] / n_safe[:, None]
+    sigma2 = (C_bar6[:, 0] + C_bar6[:, 3] + C_bar6[:, 5]) / 3.0
+    dmin = 1e-6
+    d1 = (lam1 + lam0) / (n_safe * jnp.maximum((lam0 - lam1) ** 2, dmin))
+    d2 = (lam2 + lam0) / (n_safe * jnp.maximum((lam0 - lam2) ** 2, dmin))
+    D = jnp.zeros_like(evals).at[:, 1].set(d1).at[:, 2].set(d2)
+    cov_nn = sigma2[:, None, None] * jnp.einsum(
+        "nik,nk,njk->nij", evecs, D, evecs
+    )
+    rec_update = jnp.concatenate(
+        [
+            is_plane[:, None],
+            normal, d[:, None], center_w, radius[:, None],
+            sym6(cov_nn), C_bar6 / n_safe[:, None],
+            n[:, None],  # count mirror for next frame's gating
+        ],
+        axis=-1,
+    )  # (N, 22) — full rec rows
+    # Written for EVERY touched voxel (not just fitted ones): the
+    # count mirror must stay fresh; below-threshold rows carry
+    # is_plane=0 so their plane fields are never consumed.
+    rec = rec.at[jnp.where(ok, slots_l, C)].set(rec_update, mode="drop")
+    return stats, rec
+
+
 def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
                valid: jnp.ndarray, cfg: VoxelMapConfig,
                mesh=None, compact: bool = False) -> VoxelMap:
@@ -299,8 +386,11 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     vs = layer_voxel_sizes(cfg)
     inits = layer_init_nums(cfg)
     L, N = cfg.n_layers, pts_w.shape[0]
-    C = vmap_state.stats.shape[1]
     compact_to = cfg.insert_compact if compact else 0
+    descend = cfg.descend_compact if compact else 0
+    if descend and descend < N and L > 1:
+        return _update_map_descend(vmap_state, pts_w, var_w6, valid, cfg,
+                                   compact_to, descend)
     keys_L = jnp.floor(
         pts_w[None, :, :] / vs[:, None, None]
     ).astype(jnp.int32)  # (L, N, 3)
@@ -325,90 +415,97 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     # Phase 2 — claim rounds for new keys (vmapped over layers; unresolved
     # lanes optionally compacted as in _insert).
     unresolved = valid_L & ~found0 & (empty_rows[:, :, 0] >= 0)
-
-    def claim_one(keys_tab, keys, targets, unres):
-        if compact_to and compact_to < N:
-            u = compact_to
-            (lane_idx,) = jnp.nonzero(unres, size=u, fill_value=N)
-            li = jnp.minimum(lane_idx, N - 1)
-            cu = lane_idx < N
-            keys_tab, cslot = _claim_rounds(keys_tab, keys[li], targets[li], cu)
-            slot_add = jnp.full((N,), -1, jnp.int32).at[
-                jnp.where(cu, lane_idx, N)
-            ].set(cslot, mode="drop")
-        else:
-            keys_tab, slot_add = _claim_rounds(keys_tab, keys, targets, unres)
-        return keys_tab, slot_add
-
-    keys_new, slot_add = jax.vmap(claim_one)(
-        vmap_state.keys, keys_L, empty_rows, unresolved
-    )
+    keys_new, slot_add = jax.vmap(
+        lambda kt, k, t, u: _claim_compacted(kt, k, t, u, compact_to)
+    )(vmap_state.keys, keys_L, empty_rows, unresolved)
     slots = jnp.where(found0, slot0, jnp.where(unresolved, slot_add, -1))
 
     # Phase 3 — freeze gate, one 16-wide scatter-add, batched refit
     # (init_plane, voxel_map.cpp:55-135), vmapped over layers.
     frozen = cnt_pre >= cfg.max_points_num  # claimed slots have cnt_pre 0
-
-    def refit_one(keys, stats, rec, slots_l, valid_lane, frozen_l, vsize,
-                  init_num):
-        ok = valid_lane & (slots_l >= 0) & ~frozen_l
-        w = jnp.where(ok, slots_l, C)
-        voxel_center = (keys.astype(jnp.float32) + 0.5) * vsize
-        p_local = pts_w - voxel_center
-        pp6 = sym6(p_local[:, :, None] * p_local[:, None, :])
-        one_col = jnp.ones((N, 1), jnp.float32)
-        contrib = jnp.concatenate([one_col, p_local, pp6, var_w6], axis=-1)
-        stats = stats.at[w].add(contrib, mode="drop")
-
-        s = jnp.where(ok, slots_l, 0)
-        st16 = stats[s]  # post-update count + moments in one gathered row
-        n = st16[:, 0]
-        n_safe = jnp.maximum(n, 1.0)
-        st = st16[:, 1:]
-        mean_local = st[:, 0:3] / n_safe[:, None]
-        cov6 = st[:, 3:9] / n_safe[:, None] - sym6(
-            mean_local[:, :, None] * mean_local[:, None, :]
-        )
-        cov = sym6_to_mat(cov6) + jnp.eye(3) * 1e-9
-        evals, evecs = eig3.eigh3(cov)  # ascending
-        lam0, lam1, lam2 = evals[:, 0], evals[:, 1], evals[:, 2]
-        enough = n > init_num
-        is_plane = ((lam0 < cfg.planner_threshold) & enough).astype(jnp.float32)
-
-        center_w = voxel_center + mean_local
-        normal = evecs[:, :, 0]
-        d = -jnp.sum(normal * center_w, axis=-1)
-        radius = jnp.sqrt(jnp.clip(lam2, 0.0, None))
-
-        C_bar6 = st[:, 9:15] / n_safe[:, None]
-        sigma2 = (C_bar6[:, 0] + C_bar6[:, 3] + C_bar6[:, 5]) / 3.0
-        dmin = 1e-6
-        d1 = (lam1 + lam0) / (n_safe * jnp.maximum((lam0 - lam1) ** 2, dmin))
-        d2 = (lam2 + lam0) / (n_safe * jnp.maximum((lam0 - lam2) ** 2, dmin))
-        D = jnp.zeros_like(evals).at[:, 1].set(d1).at[:, 2].set(d2)
-        cov_nn = sigma2[:, None, None] * jnp.einsum(
-            "nik,nk,njk->nij", evecs, D, evecs
-        )
-        rec_update = jnp.concatenate(
-            [
-                is_plane[:, None],
-                normal, d[:, None], center_w, radius[:, None],
-                sym6(cov_nn), C_bar6 / n_safe[:, None],
-                n[:, None],  # count mirror for next frame's gating
-            ],
-            axis=-1,
-        )  # (N, 22) — full rec rows
-        # Written for EVERY touched voxel (not just fitted ones): the
-        # count mirror must stay fresh; below-threshold rows carry
-        # is_plane=0 so their plane fields are never consumed.
-        rec = rec.at[jnp.where(ok, slots_l, C)].set(rec_update, mode="drop")
-        return stats, rec
-
-    stats_new, rec_new = jax.vmap(refit_one)(
-        keys_L, vmap_state.stats, vmap_state.rec, slots, valid_L, frozen,
-        vs, inits,
-    )
+    stats_new, rec_new = jax.vmap(
+        lambda k, st, rc, sl, vl, fr, v, i: _refit_layer(
+            k, st, rc, sl, vl, fr, v, i, pts_w, var_w6, cfg)
+    )(keys_L, vmap_state.stats, vmap_state.rec, slots, valid_L, frozen,
+      vs, inits)
     return VoxelMap(keys=keys_new, rec=rec_new, stats=stats_new)
+
+
+def _update_map_descend(vmap_state: VoxelMap, pts_w, var_w6, valid,
+                        cfg: VoxelMapConfig, compact_to: int, D: int):
+    """Steady-state insert with layer-descent compaction: layer 0 runs on
+    all N lanes; layers >= 1 run on the <= D points whose layer-0 voxel
+    exists, has enough points, and failed the plane test (the only points
+    the octree semantics subdivide). Same pre-insert gating as the full
+    path — with descend_compact >= the frame's true descending count the
+    resulting map is IDENTICAL; overflow lanes skip the fine layers this
+    frame and contribute again on the next observation."""
+    vs = layer_voxel_sizes(cfg)
+    inits = layer_init_nums(cfg)
+    L, N = cfg.n_layers, pts_w.shape[0]
+
+    # ---- layer 0 on all N lanes ----
+    keys0 = jnp.floor(pts_w / vs[0]).astype(jnp.int32)
+    slot0, found0, empty0 = _lookup_window(vmap_state.keys[0], keys0,
+                                           cfg.probes)
+    pre0 = vmap_state.rec[0][jnp.where(found0, slot0, 0)]
+    cnt0 = jnp.where(found0, pre0[:, _CNT], 0.0)
+    ispl0 = found0 & (pre0[:, _ISPL] > 0.5)
+    unres0 = valid & ~found0 & (empty0[:, 0] >= 0)
+    keys_tab0, slot_add0 = _claim_compacted(
+        vmap_state.keys[0], keys0, empty0, unres0, compact_to)
+    slots0 = jnp.where(found0, slot0, jnp.where(unres0, slot_add0, -1))
+    frozen0 = cnt0 >= cfg.max_points_num
+    stats0, rec0 = _refit_layer(
+        keys0, vmap_state.stats[0], vmap_state.rec[0], slots0, valid,
+        frozen0, vs[0], inits[0], pts_w, var_w6, cfg)
+
+    # ---- compact descending lanes ----
+    sub = valid & found0 & (cnt0 > inits[0]) & ~ispl0
+    (lane,) = jnp.nonzero(sub, size=D, fill_value=N)
+    li = jnp.minimum(lane, N - 1)
+    sub_valid = lane < N
+    pts_s = pts_w[li]
+    var_s = var_w6[li]
+
+    # ---- layers 1..L-1 on D lanes, vmapped ----
+    keys_S = jnp.floor(
+        pts_s[None, :, :] / vs[1:, None, None]
+    ).astype(jnp.int32)  # (L-1, D, 3)
+    slotS, foundS, emptyS = jax.vmap(
+        lambda tab, k: _lookup_window(tab, k, cfg.probes)
+    )(vmap_state.keys[1:], keys_S)
+    sgS = jnp.where(foundS, slotS, 0)
+    preS = jax.vmap(lambda rc, s: rc[s])(vmap_state.rec[1:], sgS)
+    cntS = jnp.where(foundS, preS[:, :, _CNT], 0.0)
+    isplS = foundS & (preS[:, :, _ISPL] > 0.5)
+
+    valid_l = [sub_valid]
+    for l in range(2, L):  # descent into layer l gated by layer l-1 meta
+        subn = foundS[l - 2] & (cntS[l - 2] > inits[l - 1]) & ~isplS[l - 2]
+        valid_l.append(valid_l[-1] & subn)
+    valid_S = jnp.stack(valid_l)  # (L-1, D)
+
+    unresS = valid_S & ~foundS & (emptyS[:, :, 0] >= 0)
+    keysS_new, slot_addS = jax.vmap(
+        lambda kt, k, t, u: _claim_compacted(
+            kt, k, t, u, compact_to if compact_to < D else 0)
+    )(vmap_state.keys[1:], keys_S, emptyS, unresS)
+    slotsS = jnp.where(foundS, slotS, jnp.where(unresS, slot_addS, -1))
+    frozenS = cntS >= cfg.max_points_num
+    statsS, recS = jax.vmap(
+        lambda k, st, rc, sl, vl, fr, v, i, p, vr: _refit_layer(
+            k, st, rc, sl, vl, fr, v, i, p, vr, cfg)
+    )(keys_S, vmap_state.stats[1:], vmap_state.rec[1:], slotsS, valid_S,
+      frozenS, vs[1:], inits[1:],
+      jnp.broadcast_to(pts_s, (L - 1,) + pts_s.shape),
+      jnp.broadcast_to(var_s, (L - 1,) + var_s.shape))
+
+    return VoxelMap(
+        keys=jnp.concatenate([keys_tab0[None], keysS_new]),
+        rec=jnp.concatenate([rec0[None], recS]),
+        stats=jnp.concatenate([stats0[None], statsS]),
+    )
 
 
 class PlaneMatch(NamedTuple):

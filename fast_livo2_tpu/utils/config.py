@@ -165,6 +165,10 @@ class TPUParams:
     max_imu_per_packet: int = 64  # pad size for the IMU batch per sync packet
     hash_capacity_log2: int = 18  # per-layer voxel hash slots (2^18 = 262144)
     hash_probe_len: int = 4  # linear probes before giving up
+    descend_compact: int = 4096  # steady-state map insert: process voxel
+    # layers >= 1 only for the points whose layer-0 voxel failed the plane
+    # test, compacted to this many lanes (0 = all layers on all points).
+    # Overflow lanes skip the fine layers for one frame.
     insert_compact: int = 2048  # steady-state map insert: compact new
     # (unresolved) keys to this many lanes before the claim rounds; 0 off.
     # Lanes count POINTS in not-yet-mapped voxels; overflow drops to the

@@ -200,3 +200,55 @@ def test_compacted_insert_overflow_drops_gracefully():
     # Dropped keys insert on the next frame.
     m2 = vm.update_map(m, jnp.asarray(pts), var, valid, cfg, compact=True)
     assert (np.asarray(m2.keys[0])[:, 0] != vm.EMPTY).sum() >= occ.sum()
+
+
+def test_descend_compacted_insert_matches_full():
+    """Layer-descent compaction: with descend_compact >= the true number
+    of descending points, the resulting map must be IDENTICAL to the
+    full-lane multi-layer insert."""
+    rng = np.random.default_rng(5)
+    # Non-planar cluster (forces layer-0 plane failure -> descent) +
+    # planar sheet (stays at layer 0).
+    blob = rng.uniform(-1, 1, (300, 3)).astype(np.float32)  # 1 voxel region
+    sheet = rng.uniform(-4, 4, (300, 3)).astype(np.float32)
+    sheet[:, 2] = 0.002 * rng.normal(size=300).astype(np.float32) + 3.0
+    pts = np.concatenate([blob, sheet])
+    var = jnp.tile(jnp.eye(3, dtype=jnp.float32) * 1e-4, (600, 1, 1))
+    valid = jnp.ones(600, bool)
+
+    base_cfg = dict(voxel_size=2.0, n_layers=3, capacity_log2=10,
+                    layer_init_num=(5, 5, 5), planner_threshold=0.0025)
+    cfg_full = vm.VoxelMapConfig(**base_cfg)
+    cfg_desc = vm.VoxelMapConfig(**base_cfg, descend_compact=512)
+
+    m0 = vm.update_map(vm.make_map(cfg_full), jnp.asarray(pts), var, valid,
+                       cfg_full)
+    # Steady frames: revisit with jitter (descent now active for the blob).
+    for seed in (6, 7):
+        r2 = np.random.default_rng(seed)
+        nxt = pts + r2.normal(size=pts.shape).astype(np.float32) * 0.01
+        m_full = vm.update_map(m0, jnp.asarray(nxt), var, valid, cfg_full,
+                               compact=True)
+        m_desc = vm.update_map(m0, jnp.asarray(nxt), var, valid, cfg_desc,
+                               compact=True)
+        np.testing.assert_array_equal(np.asarray(m_full.keys),
+                                      np.asarray(m_desc.keys))
+        np.testing.assert_allclose(np.asarray(m_full.stats),
+                                   np.asarray(m_desc.stats),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(m_full.rec),
+                                   np.asarray(m_desc.rec),
+                                   rtol=1e-5, atol=1e-5)
+        m0 = m_full
+
+    # Overflow variant: descend_compact smaller than the descending count
+    # must still build a valid (subset) map, never corrupt tables.
+    cfg_tiny = vm.VoxelMapConfig(**base_cfg, descend_compact=8)
+    m_tiny = vm.update_map(m0, jnp.asarray(pts), var, valid, cfg_tiny,
+                           compact=True)
+    k_full = np.asarray(m_full.keys[1])
+    k_tiny = np.asarray(m_tiny.keys[1])
+    occ_tiny = k_tiny[:, 0] != vm.EMPTY
+    full_set = set(map(tuple, k_full[k_full[:, 0] != vm.EMPTY]))
+    for k in k_tiny[occ_tiny]:
+        assert tuple(k) in full_set
