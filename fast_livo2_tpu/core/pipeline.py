@@ -165,7 +165,8 @@ class LIVOPipeline:
         self._vio_half_jit = jax.jit(self._vio_half, donate_argnums=donv)
         self._colorize_jit = jax.jit(
             lambda img, pts, valid, state: vio_mod.colorize_points(
-                img, pts, valid, state, self.cam, self.Rci, self.Pci,
+                img.astype(jnp.float32), pts, valid, state, self.cam,
+                self.Rci, self.Pci,
                 blind=self.cfg.publish.blind_rgb_points,
             )
         )
@@ -206,6 +207,11 @@ class LIVOPipeline:
         normals + sym6 covariances + valid) feeds the split-mode VIO
         half."""
         cfg = self.cfg
+        # Images ship as uint8 (the reference's cv::Mat gray is u8 too) and
+        # convert on device: the remote-TPU h2d path is sharply nonlinear in
+        # transfer size (1.3 MB f32 image = 51 ms, 0.33 MB u8 = 6 ms), so
+        # the u8 wire format removes the pipeline's binding constraint.
+        img = img.astype(jnp.float32)
         state, cov = unpack_state(packed_sc)
         pts = pts_pack[:, 0:3]
         t_offs = pts_pack[:, 3]
@@ -302,6 +308,7 @@ class LIVOPipeline:
     def _vio_half(self, packed_sc, pool, ring, vmap_state, img, pg_pack,
                   frame_id):
         """Split-mode VIO half over packed interfaces."""
+        img = img.astype(jnp.float32)  # u8 wire format (see _frame_step)
         state, cov = unpack_state(packed_sc)
         vres = vio_mod.vio_step(
             state, cov, pool, ring, vmap_state, img,
@@ -414,8 +421,8 @@ class LIVOPipeline:
             events = [(t + offs[-1] if len(offs) else t, None)
                       for t, pts, offs in seq.scans]
         dummy_img = jnp.zeros(
-            (self.cam.height, self.cam.width), jnp.float32
-        ) if use_images else jnp.zeros((1, 1), jnp.float32)
+            (self.cam.height, self.cam.width), jnp.uint8
+        ) if use_images else jnp.zeros((1, 1), jnp.uint8)
         n_done = 0
         for t_ev, img in events:
             if max_frames is not None and n_done >= max_frames:
@@ -445,7 +452,12 @@ class LIVOPipeline:
             first = not self.map_inited
             imu_pack, pts_pack = self._prepare_packet(t_ev, seq)
             use_vio = use_images and img is not None and not first
-            img_dev = jnp.asarray(img) if use_vio else dummy_img
+            if use_vio:
+                img_u8 = (img if img.dtype == np.uint8
+                          else np.clip(img, 0, 255).astype(np.uint8))
+                img_dev = jnp.asarray(img_u8)
+            else:
+                img_dev = dummy_img
             fid = jnp.asarray(self.frame_id, jnp.int32)
             if use_vio and not self.cfg.tpu.fused_frame:
                 (self.packed, self.vmap_state, self.pool, self.ring, diag,

@@ -45,7 +45,7 @@ def main():
     imu_pack = jnp.concatenate(
         [b.gyr, b.acc, b.dt[:, None], b.offs_end[:, None],
          b.valid[:, None]], axis=-1)
-    img = jnp.asarray(rng.uniform(0, 255, (512, 640)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(0, 255, (512, 640)).astype(np.uint8))
     fid = jnp.asarray(0, jnp.int32)
 
     # first=True builds the map
