@@ -1,16 +1,25 @@
 #!/usr/bin/env python3
-"""Trajectory evaluation: ATE RMSE with SE(3)/Sim(3) alignment.
+"""Trajectory evaluation: ATE RMSE with the exact evo_ape convention.
 
-Equivalent of the reference's evo_ape recipe
-(Log/result/ntu_viral/evaluate_viral.py + README): associates estimated
-and ground-truth TUM trajectories by timestamp, aligns with the Umeyama
-closed form, and reports APE statistics. Also provides the NTU-VIRAL
-body->prism-marker conversion the reference harness applies before
-comparison (evaluate_viral.py:6-35: ground truth tracks a prism at a
-fixed body offset).
+Reproduces the reference's published recipe
+(`evo_ape tum <gt> <est> -a`, Log/result/ntu_viral/README.md) to the
+rounding digit on the reference's own 9 committed NTU-VIRAL trajectory
+pairs (eee/nya/sbs x 01-03; see tests/test_evaluate_goldens.py):
 
-Usage:
-  python scripts/evaluate.py est.txt gt.txt [--no-align] [--prism-offset x y z]
+  - association: for each REFERENCE (ground-truth) timestamp, the
+    nearest estimate timestamp within max_diff (evo default 0.01 s);
+    duplicates allowed, exactly like evo.core.sync.matching_time_indices.
+  - alignment: Umeyama closed form on the matched positions, est -> ref
+    (`-a`, SE(3), no scale).
+  - APE: rmse/mean/median/max of per-pair position error norms.
+
+Also provides the NTU-VIRAL body->prism-marker conversion the reference
+harness applies before comparison (evaluate_viral.py:6-35: ground truth
+tracks a prism at a fixed body offset).
+
+Usage (argument order matches the evo recipe — ground truth FIRST):
+  python scripts/evaluate.py gt.txt est.txt [--no-align] \
+      [--prism-offset x y z] [--max-dt 0.01]
 """
 
 import argparse
@@ -22,19 +31,22 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def associate(est_t, gt_t, max_dt=0.02):
-    """Nearest-timestamp association. Returns index pairs."""
-    pairs = []
-    j = 0
-    for i, t in enumerate(est_t):
-        j = np.searchsorted(gt_t, t)
-        best, bd = -1, max_dt
-        for k in (j - 1, j):
-            if 0 <= k < len(gt_t) and abs(gt_t[k] - t) <= bd:
-                best, bd = k, abs(gt_t[k] - t)
-        if best >= 0:
-            pairs.append((i, best))
-    return pairs
+def associate(ref_t, est_t, max_dt=0.01):
+    """evo-convention association: for each reference stamp, the nearest
+    estimate stamp if within max_dt. Returns (ref_idx, est_idx) pairs.
+
+    Mirrors evo.core.sync.matching_time_indices: iterate over the
+    *first* trajectory's stamps, argmin over the second, duplicates
+    allowed. est_t must be sorted (TUM files are)."""
+    ref_t = np.asarray(ref_t)
+    est_t = np.asarray(est_t)
+    j = np.searchsorted(est_t, ref_t)
+    j_lo = np.clip(j - 1, 0, len(est_t) - 1)
+    j_hi = np.clip(j, 0, len(est_t) - 1)
+    pick_hi = np.abs(est_t[j_hi] - ref_t) < np.abs(est_t[j_lo] - ref_t)
+    best = np.where(pick_hi, j_hi, j_lo)
+    ok = np.abs(est_t[best] - ref_t) <= max_dt
+    return list(zip(np.nonzero(ok)[0].tolist(), best[ok].tolist()))
 
 
 def umeyama(src, dst, with_scale=False):
@@ -52,22 +64,23 @@ def umeyama(src, dst, with_scale=False):
     return s, R, t
 
 
-def ape(est, gt, align=True, prism_offset=None, max_dt=0.02):
-    """est/gt: lists [(t, R, p)]. Returns dict of APE stats (meters)."""
+def ape(ref, est, align=True, prism_offset=None, max_dt=0.01):
+    """ref/est: lists [(t, R, p)], ref = ground truth. Returns APE stats
+    (meters) under the evo_ape convention (see module docstring)."""
     if prism_offset is not None:
         off = np.asarray(prism_offset)
         est = [(t, R, p + R @ off) for t, R, p in est]
+    ref_t = np.array([g[0] for g in ref])
     est_t = np.array([e[0] for e in est])
-    gt_t = np.array([g[0] for g in gt])
-    pairs = associate(est_t, gt_t, max_dt)
+    pairs = associate(ref_t, est_t, max_dt)
     if len(pairs) < 3:
         raise ValueError(f"only {len(pairs)} associations")
-    P_est = np.array([est[i][2] for i, _ in pairs])
-    P_gt = np.array([gt[j][2] for _, j in pairs])
+    P_ref = np.array([ref[i][2] for i, _ in pairs])
+    P_est = np.array([est[j][2] for _, j in pairs])
     if align:
-        s, R, t = umeyama(P_est, P_gt)
+        s, R, t = umeyama(P_est, P_ref)
         P_est = (s * (R @ P_est.T)).T + t
-    err = np.linalg.norm(P_est - P_gt, axis=1)
+    err = np.linalg.norm(P_est - P_ref, axis=1)
     return {
         "rmse": float(np.sqrt(np.mean(err**2))),
         "mean": float(err.mean()),
@@ -81,15 +94,18 @@ def main():
     from fast_livo2_tpu.io.export import read_tum
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("est")
-    ap.add_argument("gt")
+    ap.add_argument("gt", help="ground-truth TUM file (evo's first arg)")
+    ap.add_argument("est", help="estimated TUM file")
     ap.add_argument("--no-align", action="store_true")
     ap.add_argument("--prism-offset", nargs=3, type=float, default=None,
-                    help="body->prism offset (NTU-VIRAL: 0.0 0.0 0.25 per "
-                         "the reference harness)")
-    ap.add_argument("--max-dt", type=float, default=0.02)
+                    help="body->prism offset applied to est (NTU-VIRAL: "
+                         "-0.293656 -0.012288 -0.273095 per "
+                         "evaluate_viral.py's T_B_prism)")
+    ap.add_argument("--max-dt", type=float, default=0.01,
+                    help="association window (evo default 0.01 s)")
     args = ap.parse_args()
-    stats = ape(read_tum(args.est), read_tum(args.gt), align=not args.no_align,
+    stats = ape(read_tum(args.gt), read_tum(args.est),
+                align=not args.no_align,
                 prism_offset=args.prism_offset, max_dt=args.max_dt)
     for k, v in stats.items():
         print(f"{k:>8}: {v:.4f}" if isinstance(v, float) else f"{k:>8}: {v}")
