@@ -42,6 +42,7 @@ import numpy as np
 # benefit (plane gates tolerate 1e-3 relative error).
 
 from ..models import camera as cam_mod
+from ..models import lidar as lidar_mod
 from ..ops import so3
 from ..utils.config import LIVOConfig
 from . import imu as imu_mod
@@ -80,9 +81,19 @@ class FrameLog:
 
 
 class LIVOPipeline:
+    # Mirrors the reference's slam_mode_ enum (LIVMapper.cpp:162:
+    # LIVO | ONLY_LIO | ONLY_LO). "only_lio" = LiDAR+IMU, no camera;
+    # "only_lo" = LiDAR only, constant-velocity propagation (IMU-less
+    # fallback, IMU_Processing.cpp:151-234).
+    SLAM_MODES = ("livo", "only_lio", "only_lo")
+
     def __init__(self, cfg: LIVOConfig, slam_mode: str = "livo"):
+        if slam_mode not in self.SLAM_MODES:
+            raise ValueError(
+                f"slam_mode {slam_mode!r} not in {self.SLAM_MODES} "
+                "('only_lio' = no camera; 'only_lo' = no camera, no IMU)")
         self.cfg = cfg
-        self.slam_mode = slam_mode  # "livo" | "only_lio"
+        self.slam_mode = slam_mode
         t = cfg.tpu
         self.map_cfg = vmap_mod.VoxelMapConfig(
             voxel_size=cfg.lio.voxel_size,
@@ -109,6 +120,9 @@ class LIVOPipeline:
             img_point_cov=cfg.vio.img_point_cov,
             outlier_threshold=cfg.vio.outlier_threshold,
             exposure_estimate_en=cfg.vio.exposure_estimate_en,
+            normal_en=cfg.vio.normal_en,
+            ncc_en=cfg.vio.ncc_en,
+            ncc_thre=cfg.vio.ncc_thre,
             raycast_en=cfg.vio.raycast_en,
             inverse_composition_en=cfg.vio.inverse_composition_en,
         )
@@ -410,13 +424,26 @@ class LIVOPipeline:
         """Run an offline sequence (io.synthetic.SyntheticSequence or the
         npz reader's equivalent). Returns the TUM-style trajectory list
         [(t, R (3,3) np, p (3,) np), ...]."""
+        feat_en = self.cfg.preprocess.feature_extract_enabled
         for t_begin, pts, offs in seq.scans:
+            if feat_en and len(pts):
+                # Optional LOAM surf-feature path (feature_extract_enabled,
+                # LIVMapper.cpp:95 -> give_feature, preprocess.cpp:746-980):
+                # only planar points feed the LIO filter.
+                keep = lidar_mod.extract_surf_features(
+                    pts, offs, blind=self.cfg.preprocess.blind)
+                pts, offs = pts[keep], offs[keep]
             self.pending.append((pts, t_begin + offs))
         self.pending.sort(key=lambda x: x[1][0] if len(x[1]) else 1e18)
 
+        # Camera frames cut the stream at capture time = image stamp +
+        # exposure_time_init (sync_packages, LIVMapper.cpp:949-1010; the
+        # per-image img_time_offset is applied at ingestion by
+        # io.dataset.load_sequence, mirroring img_cbk :847).
+        t_expo = self.cfg.time_offset.exposure_time_init
         use_images = self.slam_mode == "livo" and len(seq.images) > 0
         if use_images:
-            events = [(t, img) for t, img in seq.images]
+            events = [(t + t_expo, img) for t, img in seq.images]
         else:
             events = [(t + offs[-1] if len(offs) else t, None)
                       for t, pts, offs in seq.scans]

@@ -33,8 +33,11 @@ TPU-native re-design of VIOManager (reference src/vio.cpp, include/vio.h):
 - Raycast recovery for LiDAR-blind cells (vio.cpp:80-126, :487-591) in
   raycast_recover below.
 
-Not implemented (config-gated off in all bundled configs): the
-inverse-compositional variant (:1327-1518).
+- The inverse-compositional variant (updateStateInverse, vio.cpp
+  :1327-1518; default-off in the bundled configs, as in the reference)
+  is `photometric_update_ic` below: reference-frame gradients and
+  6-DoF Jacobians precomputed once per frame, fixed Hᵀ H across
+  iterations.
 """
 
 from typing import NamedTuple
@@ -91,6 +94,10 @@ class VIOConfig(NamedTuple):
     img_point_cov: float = 100.0
     outlier_threshold: float = 1000.0
     exposure_estimate_en: bool = True
+    normal_en: bool = True  # vio.cpp:653-742: True = min-photometric-error
+    # ref selection + plane-normal homography warp; False = closest-view
+    # ref selection (getCloseViewObs) + fronto-parallel depth warp
+    # (getWarpMatrixAffine)
     ncc_en: bool = False
     ncc_thre: float = 0.0
     raycast_en: bool = False
@@ -385,39 +392,73 @@ def retrieve(pool: VisualPool, ring: FrameRing, img, depth_img, state: NavState,
     )
     sel = sel & ~bad_depth
 
-    # --- Reference patch selection (normal_en path, vio.cpp:653-693) ---
     K = cfg.max_obs
     obs_valid = sel_obs_rows[:, :, _O_VALID] > 0.5  # (M, K)
-    n_obs_sel = jnp.sum(obs_valid, axis=1)
-    diff = sel_patches[:, :, None, :] - sel_patches[:, None, :, :]
-    perr = jnp.sum(diff * diff, axis=-1)  # (M, K, K)
-    pair_ok = obs_valid[:, :, None] & obs_valid[:, None, :] & ~jnp.eye(K, dtype=bool)
-    cnt = jnp.maximum(jnp.sum(pair_ok, axis=-1), 1)
-    mean_err = jnp.where(
-        obs_valid, jnp.sum(jnp.where(pair_ok, perr, 0.0), axis=-1) / cnt, 3e38
-    )
-    best_obs = jnp.argmin(mean_err, axis=-1).astype(jnp.int32)
-    first_obs = jnp.argmax(obs_valid, axis=-1).astype(jnp.int32)
-    had_ref = sel_point[:, _P_HASREF] > 0.5
-    prev_ref = sel_point[:, _P_REF].astype(jnp.int32)
-    ref_valid_still = jnp.take_along_axis(obs_valid, prev_ref[:, None], axis=1)[:, 0]
-    ref_slot = jnp.where(
-        had_ref & ref_valid_still,
-        prev_ref,
-        jnp.where(n_obs_sel == 1, first_obs, best_obs),
-    )
-    # Chosen refs (pt->ref_patch caching, :689-692) ride the threaded
-    # point_rows to the maintenance stage's single scatter instead of a
-    # dedicated write here (lanes gated out later simply re-select their
-    # ref next frame).
-    new_point_rows = sel_point.at[:, _P_REF].set(ref_slot.astype(jnp.float32))
-    new_point_rows = new_point_rows.at[:, _P_HASREF].set(1.0)
+    if cfg.normal_en:
+        # --- Reference patch selection (normal_en path, vio.cpp:653-693):
+        # the observation with minimum mean photometric error vs the
+        # others, cached per point across frames. ---
+        n_obs_sel = jnp.sum(obs_valid, axis=1)
+        diff = sel_patches[:, :, None, :] - sel_patches[:, None, :, :]
+        perr = jnp.sum(diff * diff, axis=-1)  # (M, K, K)
+        pair_ok = obs_valid[:, :, None] & obs_valid[:, None, :] & ~jnp.eye(K, dtype=bool)
+        cnt = jnp.maximum(jnp.sum(pair_ok, axis=-1), 1)
+        mean_err = jnp.where(
+            obs_valid, jnp.sum(jnp.where(pair_ok, perr, 0.0), axis=-1) / cnt, 3e38
+        )
+        best_obs = jnp.argmin(mean_err, axis=-1).astype(jnp.int32)
+        first_obs = jnp.argmax(obs_valid, axis=-1).astype(jnp.int32)
+        had_ref = sel_point[:, _P_HASREF] > 0.5
+        prev_ref = sel_point[:, _P_REF].astype(jnp.int32)
+        ref_valid_still = jnp.take_along_axis(obs_valid, prev_ref[:, None], axis=1)[:, 0]
+        ref_slot = jnp.where(
+            had_ref & ref_valid_still,
+            prev_ref,
+            jnp.where(n_obs_sel == 1, first_obs, best_obs),
+        )
+        # Chosen refs (pt->ref_patch caching, :689-692) ride the threaded
+        # point_rows to the maintenance stage's single scatter instead of a
+        # dedicated write here (lanes gated out later simply re-select their
+        # ref next frame).
+        new_point_rows = sel_point.at[:, _P_REF].set(ref_slot.astype(jnp.float32))
+        new_point_rows = new_point_rows.at[:, _P_HASREF].set(1.0)
+    else:
+        # --- normal_en=false path: closest-view observation
+        # (VisualPoint::getCloseViewObs, visual_point.cpp:57-95): maximize
+        # the cosine between the current and observation view directions;
+        # drop the point past 60°. No ref caching (the reference re-picks
+        # every frame in this branch). ---
+        obs_R = sel_obs_rows[:, :, _O_R].reshape(M, K, 3, 3)
+        obs_t = sel_obs_rows[:, :, _O_T]  # world->cam translation
+        obs_cam_pos = -jnp.einsum("mkji,mkj->mki", obs_R, obs_t)
+        cur_dir = cam_pos[None, :] - sel_point[:, _P_POS]
+        cur_dir = cur_dir / jnp.maximum(
+            jnp.linalg.norm(cur_dir, axis=-1, keepdims=True), 1e-9)
+        obs_dir = obs_cam_pos - sel_point[:, None, _P_POS]
+        obs_dir = obs_dir / jnp.maximum(
+            jnp.linalg.norm(obs_dir, axis=-1, keepdims=True), 1e-9)
+        cos_a = jnp.where(obs_valid,
+                          jnp.sum(obs_dir * cur_dir[:, None, :], axis=-1),
+                          -2.0)
+        ref_slot = jnp.argmax(cos_a, axis=-1).astype(jnp.int32)
+        sel = sel & (jnp.max(cos_a, axis=-1) >= 0.5)
+        new_point_rows = sel_point
 
     sel_ref_obs = jnp.take_along_axis(
         sel_obs_rows, ref_slot[:, None, None], axis=1
     )[:, 0, :]  # (M, 20)
+    if cfg.normal_en:
+        warp_rows = new_point_rows
+    else:
+        # Fronto-parallel warp (getWarpMatrixAffine, vio.cpp:276-292):
+        # the homography with the plane normal set to the ref camera's
+        # optical axis (n_ref = e_z => n·x = depth) reproduces the
+        # constant-depth back-projection exactly (world2cam quotients the
+        # per-point positive scale).
+        R_ref_sel = sel_ref_obs[:, _O_R].reshape(M, 3, 3)
+        warp_rows = new_point_rows.at[:, _P_NRM].set(R_ref_sel[:, 2, :])
     search, warp, warp_ok = _warp_homography(
-        cam, ring, sel_ref_obs, new_point_rows, Rcw, Pcw, cfg
+        cam, ring, sel_ref_obs, warp_rows, Rcw, Pcw, cfg
     )
     sel = sel & warp_ok
 

@@ -58,7 +58,18 @@ class NpzSequence:
 
 def load_sequence(path: str, imu_time_offset=0.0, img_time_offset=0.0,
                   lidar_time_offset=0.0, image_scale=1.0,
-                  img_decimate: int = 1) -> NpzSequence:
+                  img_decimate: int = 1, cfg=None) -> NpzSequence:
+    if cfg is not None:
+        # Pull the ingestion knobs from a LIVOConfig: the time_offset
+        # section (LIVMapper.cpp:71-75; applied at the sensor callbacks,
+        # :708/:776/:847 — exposure_time_init is applied later, at the
+        # sync cut, by LIVOPipeline.process), the camera scale, and the
+        # hilti_en 40->10 Hz image decimation (:841-845).
+        imu_time_offset = cfg.time_offset.imu_time_offset
+        img_time_offset = cfg.time_offset.img_time_offset
+        lidar_time_offset = cfg.time_offset.lidar_time_offset
+        image_scale = cfg.camera.scale
+        img_decimate = 4 if cfg.preprocess.hilti_en else img_decimate
     imu = np.load(os.path.join(path, "imu.npz"))
     imu_stamps = imu["stamps"].astype(np.float64) - imu_time_offset
 

@@ -55,6 +55,10 @@ class PreprocessConfig:
     lidar_type: int = 1  # LID_TYPE enum, common_lib.h:38-47
     scan_line: int = 6
     blind: float = 0.8
+    feature_extract_enabled: bool = False  # LOAM surf-feature path
+    # (preprocess.cpp:746-1097; LIVMapper.cpp:95) — default off as in
+    # every shipped reference config
+    hilti_en: bool = False  # 40->10 Hz image decimation (LIVMapper.cpp:841-845)
 
 
 @dataclass
@@ -65,6 +69,8 @@ class VIOParams:
     patch_size: int = 8
     patch_pyrimid_level: int = 4  # (sic) reference spelling
     normal_en: bool = True
+    ncc_en: bool = False  # NCC gate on warped-vs-current patches in
+    ncc_thre: float = 0.0  # retrieval (vio.cpp:753-762, vio.h:101,109)
     raycast_en: bool = False
     inverse_composition_en: bool = False
     exposure_estimate_en: bool = True

@@ -1,0 +1,156 @@
+"""Per-knob behavior tests for the reference config parameters wired in
+round 2 (VERDICT item 3): ncc_en/ncc_thre, normal_en, time_offset.*
+(incl. exposure_time_init), feature_extract_enabled, hilti_en.
+
+Each test flips exactly one knob and asserts an observable behavior
+change (or invariance where the knob is a no-op on the data)."""
+
+import numpy as np
+import pytest
+
+from fast_livo2_tpu.core.pipeline import LIVOPipeline
+from fast_livo2_tpu.io import dataset, synthetic
+from fast_livo2_tpu.models import camera as cam_mod
+from fast_livo2_tpu.utils.config import CameraConfig, LIVOConfig
+
+
+def small_cam_cfg():
+    return CameraConfig(cam_model="Pinhole", cam_width=320, cam_height=256,
+                        scale=1.0, cam_fx=200.0, cam_fy=200.0, cam_cx=160.0,
+                        cam_cy=128.0)
+
+
+def livo_config():
+    cfg = LIVOConfig()
+    cfg.camera = small_cam_cfg()
+    cfg.extrin_calib.Rcl = list(synthetic.R_CI_FORWARD.reshape(-1))
+    cfg.extrin_calib.Pcl = [0.0, 0.0, 0.0]
+    cfg.tpu.max_points_per_scan = 8192
+    cfg.tpu.max_points_down = 4096
+    cfg.tpu.hash_capacity_log2 = 15
+    cfg.tpu.vis_point_capacity = 8192
+    cfg.tpu.frame_ring = 32
+    cfg.lio.max_layer = 1
+    cfg.preprocess.filter_size_surf = 0.15
+    cfg.vio.patch_pyrimid_level = 3
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def seq():
+    cam = cam_mod.make_camera(small_cam_cfg())
+    return synthetic.make_sequence(
+        duration=2.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
+        seed=11, n_lines=12, n_per_line=500, render=True, fov_deg=360.0,
+    )
+
+
+def _run(cfg, seq, mode="livo"):
+    pipe = LIVOPipeline(cfg, slam_mode=mode)
+    traj = pipe.process(seq)
+    est = [(t, p) for t, R, p in traj]
+    rmse = synthetic.ate_rmse(est, seq.gt)
+    tracked = [r.get("n_tracked", 0) for r in pipe.log.rows[3:]]
+    return pipe, rmse, float(np.mean(tracked)) if tracked else 0.0
+
+
+def test_normal_en_off_closest_view_path(seq):
+    """normal_en=false: closest-view ref selection + fronto-parallel warp
+    (getCloseViewObs + getWarpMatrixAffine, vio.cpp:696-734) must still
+    track the sequence."""
+    cfg = livo_config()
+    cfg.vio.normal_en = False
+    _, rmse, tracked = _run(cfg, seq)
+    assert rmse < 0.08, f"normal_en=false ATE {rmse:.3f}"
+    assert tracked > 20, f"normal_en=false tracked {tracked}"
+
+
+def test_ncc_gate_rejects_and_passes(seq):
+    """ncc_en (vio.cpp:753-762): an impossible threshold must reject all
+    tracked patches; a permissive one must change nothing."""
+    base = livo_config()
+    _, _, tracked_off = _run(base, seq)
+
+    hard = livo_config()
+    hard.vio.ncc_en = True
+    hard.vio.ncc_thre = 1.1  # NCC <= 1 always -> rejects every patch
+    _, _, tracked_hard = _run(hard, seq)
+
+    soft = livo_config()
+    soft.vio.ncc_en = True
+    soft.vio.ncc_thre = -1.1  # NCC >= -1 always -> rejects nothing
+    _, rmse_soft, tracked_soft = _run(soft, seq)
+
+    assert tracked_hard == 0.0, f"ncc_thre=1.1 still tracked {tracked_hard}"
+    assert tracked_off > 20
+    assert abs(tracked_soft - tracked_off) / tracked_off < 0.25
+    assert rmse_soft < 0.08
+
+
+def test_exposure_time_init_shifts_capture_time(seq):
+    """time_offset/exposure_time_init is added to the image stamp to form
+    the capture (stream-cut) time (sync_packages, LIVMapper.cpp:949-1010):
+    frame timestamps in the output trajectory must shift by exactly it."""
+    cfg0 = livo_config()
+    pipe0 = LIVOPipeline(cfg0, slam_mode="livo")
+    t0 = [t for t, _, _ in pipe0.process(seq, max_frames=5)]
+
+    cfg1 = livo_config()
+    cfg1.time_offset.exposure_time_init = 0.013
+    pipe1 = LIVOPipeline(cfg1, slam_mode="livo")
+    t1 = [t for t, _, _ in pipe1.process(seq, max_frames=5)]
+
+    assert len(t0) == len(t1) == 5
+    np.testing.assert_allclose(np.array(t1) - np.array(t0), 0.013, atol=1e-9)
+
+
+def test_feature_extract_enabled_filters_scan_points(seq):
+    """preprocess/feature_extract_enabled gates the LOAM surf path
+    (give_feature, preprocess.cpp:746-980): the pipeline must ingest a
+    strict subset of the raw points."""
+    total_raw = sum(len(p) for _, p, _ in seq.scans)
+
+    cfg = livo_config()
+    pipe_off = LIVOPipeline(cfg, slam_mode="livo")
+    pipe_off.process(seq, max_frames=0)  # builds pending only
+    n_off = sum(len(p) for p, _ in pipe_off.pending)
+
+    cfg = livo_config()
+    cfg.preprocess.feature_extract_enabled = True
+    pipe_on = LIVOPipeline(cfg, slam_mode="livo")
+    pipe_on.process(seq, max_frames=0)
+    n_on = sum(len(p) for p, _ in pipe_on.pending)
+
+    assert n_off == total_raw
+    assert 0 < n_on < n_off, f"feature path kept {n_on}/{n_off}"
+
+
+def test_load_sequence_cfg_time_offsets(tmp_path, seq):
+    """io.dataset.load_sequence(cfg=...) applies the time_offset section
+    at ingestion exactly as the reference callbacks do
+    (lidar +, imu -, img +; LIVMapper.cpp:708,776,847)."""
+    d = tmp_path / "seq"
+    dataset.save_sequence(str(d), seq)
+    base = dataset.load_sequence(str(d))
+
+    cfg = livo_config()
+    cfg.time_offset.imu_time_offset = 0.004
+    cfg.time_offset.img_time_offset = 0.05
+    cfg.time_offset.lidar_time_offset = -0.1
+    off = dataset.load_sequence(str(d), cfg=cfg)
+
+    np.testing.assert_allclose(off.imu_stamps, base.imu_stamps - 0.004)
+    np.testing.assert_allclose(off.scans[0][0], base.scans[0][0] - 0.1)
+    np.testing.assert_allclose(off.images[0][0], base.images[0][0] + 0.05)
+
+
+def test_hilti_en_decimates_images(tmp_path, seq):
+    """preprocess/hilti_en keeps 1-in-4 images (LIVMapper.cpp:841-845)."""
+    d = tmp_path / "seq"
+    dataset.save_sequence(str(d), seq)
+    base = dataset.load_sequence(str(d))
+    cfg = livo_config()
+    cfg.preprocess.hilti_en = True
+    dec = dataset.load_sequence(str(d), cfg=cfg)
+    assert len(dec.images) == (len(base.images) + 3) // 4
+    assert dec.images[0][0] == base.images[0][0]
