@@ -89,6 +89,38 @@ def write_pcd(path: str, points: np.ndarray, colors: np.ndarray = None,
             np.savetxt(f, data, fmt="%.6f")
 
 
+def read_pcd(path: str):
+    """Read a PCD file written by write_pcd (binary or ascii, 4-byte
+    float fields). Returns (points (N, 3), colors (N, 3) uint8 or None,
+    intensity (N,) or None) — the loader side of the reference's
+    offline mesh pipeline (scripts/mesh.py reads saved PCDs back)."""
+    with open(path, "rb") as f:
+        fields, n, binary = None, 0, True
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            if line.startswith("FIELDS"):
+                fields = line.split()[1:]
+            elif line.startswith("POINTS"):
+                n = int(line.split()[1])
+            elif line.startswith("DATA"):
+                binary = line.split()[1] == "binary"
+                break
+        ncols = len(fields)
+        if binary:
+            data = np.frombuffer(f.read(4 * n * ncols), np.float32).reshape(n, ncols)
+        else:
+            data = np.loadtxt(f, np.float32).reshape(n, ncols)
+    pts = data[:, 0:3]
+    colors = intensity = None
+    if "rgb" in fields:
+        packed = data[:, fields.index("rgb")].view(np.uint32)
+        colors = np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
+                           packed & 0xFF], axis=-1).astype(np.uint8)
+    if "intensity" in fields:
+        intensity = data[:, fields.index("intensity")]
+    return pts, colors, intensity
+
+
 def write_colmap(out_dir: str, cam, frames: Sequence[Tuple[int, np.ndarray, np.ndarray, str]],
                  points3d: np.ndarray = None, colors: np.ndarray = None):
     """COLMAP sparse text model: cameras.txt / images.txt / points3D.txt
