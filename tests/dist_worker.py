@@ -1,0 +1,92 @@
+"""Worker process for the jax.distributed multi-process CPU test
+(tests/test_distributed.py). Two processes x 4 virtual CPU devices form
+an 8-device global mesh; each runs the SPMD-sharded LIO ESIKF step and
+the sliding-window BA refine over globally sharded arrays, then process
+0 checks the result against its local single-device computation.
+
+Not a pytest file (no test_ prefix): launched via subprocess with
+  python tests/dist_worker.py <coordinator> <num_procs> <proc_id>
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4",
+)
+
+import jax  # noqa: E402
+
+coord, n_procs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coord, num_processes=n_procs,
+                           process_id=pid)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__ as ge  # noqa: E402
+from fast_livo2_tpu.core import voxel_map as vm  # noqa: E402
+from fast_livo2_tpu.parallel import ba  # noqa: E402
+
+assert len(jax.devices()) == 4 * n_procs, jax.devices()
+
+step, (state, cov, m, body, valid), map_cfg = ge._build_lio_example(
+    n_pts=1024, cap_log2=12)
+mesh = Mesh(np.array(jax.devices()), ("dp",))
+pt_sh = NamedSharding(mesh, P("dp"))
+rep = NamedSharding(mesh, P())
+
+
+def to_global(host_arr, sharding):
+    """Build a globally-sharded jax.Array from replicated host data."""
+    a = np.asarray(host_arr)
+    return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+
+state_g = jax.tree.map(lambda x: to_global(x, rep), state)
+cov_g = to_global(cov, rep)
+m_g = jax.tree.map(lambda x: to_global(x, rep), m)
+body_g = to_global(body, pt_sh)
+valid_g = to_global(valid, pt_sh)
+
+res = jax.jit(step)(state_g, cov_g, m_g, body_g, valid_g)
+jax.block_until_ready(res)
+# Outputs may span non-addressable devices: reshard to fully-replicated
+# (XLA inserts the all-gather), then every process can fetch locally.
+_rep_fetch = jax.jit(lambda *xs: xs, out_shardings=rep)
+pos_dist, cov_dist = map(np.asarray,
+                         _rep_fetch(res.state.pos, res.cov))
+
+# --- BA window refine, keyframe axis sharded over the global mesh ---
+K, N = 8, 512
+rng = np.random.default_rng(0)
+scans = np.asarray(body)[None, :N, :].repeat(K, 0) + rng.normal(
+    size=(K, N, 3)).astype(np.float32) * 0.002
+win = ba.Window(
+    rot=to_global(np.tile(np.eye(3, dtype=np.float32), (K, 1, 1)),
+                  NamedSharding(mesh, P("dp"))),
+    pos=to_global(rng.normal(size=(K, 3)).astype(np.float32) * 0.05,
+                  NamedSharding(mesh, P("dp"))),
+    scans=to_global(scans, NamedSharding(mesh, P("dp"))),
+    valid=to_global(np.ones((K, N), bool), NamedSharding(mesh, P("dp"))),
+)
+win_out, n_used = ba.refine_window(win, map_cfg, outer_iters=1, gn_iters=2,
+                                   mesh=mesh)
+jax.block_until_ready(win_out)
+pos_ba = np.asarray(_rep_fetch(win_out.pos)[0])
+
+if pid == 0:
+    # single-device reference on local data (plain jit, no mesh)
+    res_ref = jax.jit(step)(state, cov, m, body, valid)
+    np.testing.assert_allclose(pos_dist, np.asarray(res_ref.state.pos),
+                               atol=1e-4)
+    np.testing.assert_allclose(cov_dist, np.asarray(res_ref.cov), atol=1e-3)
+    assert np.isfinite(pos_ba).all() and np.abs(pos_ba).max() < 1.0
+    print("DIST_OK", float(np.linalg.norm(pos_dist)), flush=True)
+jax.distributed.shutdown()
