@@ -119,6 +119,30 @@ def main():
     log(f"[bench] pipelined runs: {[round(f, 2) for f in fps_runs]}")
 
     extra = {}
+    if os.environ.get("BENCH_HARD", "1") == "1":
+        # Hard-benchmark accuracy (non-planar clutter + aggressive
+        # motion + exposure ramp, tests/test_hard_scene.py's scene at
+        # bench scale): the discriminating ATE the planar room can't
+        # give. ~30 extra frames on the already-compiled programs.
+        hcache = "/tmp/flv_bench_hard_seq"
+        if os.path.exists(os.path.join(hcache, "imu.npz")):
+            hseq = ds.load_sequence(hcache)
+        else:
+            log("[bench] generating hard synthetic sequence...")
+            hseq = synthetic.make_sequence(
+                duration=3.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
+                cam=cam, seed=7, n_lines=24, n_per_line=1000, render=True,
+                fov_deg=360.0, planes=synthetic.hard_scene(),
+                traj=synthetic.hard_trajectory(),
+                exposure_fn=lambda t: 1.0 + 0.25 * np.sin(0.8 * t),
+            )
+            ds.save_sequence(hcache, hseq)
+        hpipe = LIVOPipeline(cfg, slam_mode=mode)
+        htraj = hpipe.process(hseq, progress=False)
+        hrmse = synthetic.ate_rmse([(t, p) for t, _, p in htraj], hseq.gt)
+        extra["hard_ate_rmse_m"] = round(hrmse, 4)
+        log(f"[bench] hard-scene ATE {hrmse:.4f} m over {len(htraj)} frames")
+
     bsz = int(os.environ.get("BENCH_BATCH", "0"))
     if bsz > 1:
         from fast_livo2_tpu.parallel.batch import BatchedPipeline

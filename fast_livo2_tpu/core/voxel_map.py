@@ -128,6 +128,16 @@ class VoxelMapConfig(NamedTuple):
     sigma_num: float = 3.0
     layer_init_num: Sequence[int] = (5, 5, 5, 5, 5)
     max_points_num: int = 50
+    sibling_search: bool = False  # match_planes also gates the nearest
+    # SIBLING sub-voxel at each layer >= 1 (the reference recurses into
+    # all 8 children of a non-plane node, voxel_map.cpp:713-786; the
+    # quarter-rule nearest sibling covers the boundary-point case at one
+    # extra gather per fine layer instead of 8). Default OFF: measured on
+    # the hard non-planar benchmark it changes nothing at the default
+    # planner threshold (ATE 0.0097 either way, 260 subdivided voxels)
+    # and is marginally WORSE with subdivision forced at threshold
+    # 0.0005 (0.0174 vs 0.0166) — the containing chain already carries
+    # the dominant match, so the extra per-layer gather buys no accuracy.
 
 
 def make_map(cfg: VoxelMapConfig) -> VoxelMap:
@@ -564,33 +574,45 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
     one windowed gather per (layer-chain + neighbor) candidate set, gating
     in registers, max-probability selection.
 
-    Per point we gate up to n_layers + 1 candidates: the containing voxel
-    chain (layer l active iff its ancestors exist and are not planes) and
-    the nearest neighbor root voxel, which is only considered when the own
-    chain fails (:680-691). Deviations from the reference, by design:
-    - sibling sub-voxels are not searched (the reference recurses into all
-      8 children; the containing chain covers the dominant match);
+    Per point we gate up to n_layers + 1 (+ n_layers - 1 with
+    sibling_search) candidates: the containing voxel chain (layer l
+    active iff its ancestors exist and are not planes), the nearest
+    neighbor root voxel, which is only considered when the own chain
+    fails (:680-691), and — sibling_search, default on — the nearest
+    SIBLING sub-voxel at each layer >= 1 by the same quarter rule (the
+    reference recurses into all 8 children of a non-plane node,
+    :713-786; the nearest sibling covers the boundary-point case at one
+    gather per fine layer instead of 8). Remaining deviation:
     - the neighbor shift uses the point's offset within its voxel in
       meters (the reference compares voxel-unit coordinates with
       meter-unit centers at :683-688, which we read as unintended).
     """
     var_w6 = var_w if var_w.ndim == 2 else sym6(var_w)
     n_pts = pts_w.shape[0]
+    L = cfg.n_layers
     vsizes = layer_voxel_sizes(cfg)
     keys_L = jnp.floor(
         pts_w[None, :, :] / vsizes[:, None, None]
     ).astype(jnp.int32)  # (L, N, 3)
 
-    # Nearest neighbor root voxel by in-voxel offset (quarter-length rule).
-    center0 = (keys_L[0].astype(jnp.float32) + 0.5) * cfg.voxel_size
-    off = pts_w - center0
-    quarter = cfg.voxel_size / 4.0
-    shift = jnp.where(off > quarter, 1, jnp.where(off < -quarter, -1, 0)).astype(jnp.int32)
-    keys_all = jnp.concatenate([keys_L, (keys_L[0] + shift)[None]], axis=0)
+    def quarter_shift(li):
+        """Nearest-neighbor shift at layer li by in-voxel offset
+        (quarter-length rule)."""
+        center = (keys_L[li].astype(jnp.float32) + 0.5) * vsizes[li]
+        off = pts_w - center
+        q = vsizes[li] / 4.0
+        return jnp.where(off > q, 1,
+                         jnp.where(off < -q, -1, 0)).astype(jnp.int32)
 
-    idx = jnp.asarray(list(range(cfg.n_layers)) + [0])
-    keys_tabs = vmap_state.keys[idx]  # (L+1, C, 3)
-    recs = vmap_state.rec[idx]  # (L+1, C, 21)
+    extra = [(keys_L[0] + quarter_shift(0))[None]]
+    sib_layers = list(range(1, L)) if cfg.sibling_search else []
+    for li in sib_layers:
+        extra.append((keys_L[li] + quarter_shift(li))[None])
+    keys_all = jnp.concatenate([keys_L] + extra, axis=0)
+
+    idx = jnp.asarray(list(range(L)) + [0] + sib_layers)
+    keys_tabs = vmap_state.keys[idx]  # (L+1+S, C, 3)
+    recs = vmap_state.rec[idx]  # (L+1+S, C, 21)
 
     def one(keys_tab, rec_tab, keys):
         slot, found, _ = _lookup_window(keys_tab, keys, cfg.probes)
@@ -604,7 +626,9 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
     # Chain masks (octree descent semantics) — tiny (L, N) logic.
     ancestor_open = jnp.ones(n_pts, bool)
     actives = []
+    opens = []  # ancestor_open at each layer (sibling admission mask)
     for li in range(cfg.n_layers):
+        opens.append(ancestor_open)
         active = ancestor_open & ok[li]
         actives.append(active)
         ancestor_open = ancestor_open & exists[li] & ~is_pl[li]
@@ -612,7 +636,11 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
     for a in actives:
         any_own = any_own | a
     actives.append(ok[cfg.n_layers] & ~any_own)
-    active = jnp.stack(actives, axis=0)  # (L+1, N)
+    # Sibling candidates admitted exactly where the reference would
+    # recurse into the children: the parent chain is open at that layer.
+    for si, li in enumerate(sib_layers):
+        actives.append(opens[li] & ok[cfg.n_layers + 1 + si])
+    active = jnp.stack(actives, axis=0)  # (L+1+S, N)
 
     probs = jnp.where(active, prob, -1.0)
     best = jnp.argmax(probs, axis=0)

@@ -17,7 +17,7 @@ Ground-truth poses come back alongside for ATE computation.
 """
 
 from dataclasses import dataclass, field
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -29,6 +29,110 @@ class Plane:
     u_axis: np.ndarray  # texture axes
     v_axis: np.ndarray
     tex_seed: int = 0
+    # Finite extents along u_axis/v_axis (None = infinite). Bounded
+    # rectangles compose boxes/ramps for the hard (non-planar, occluded)
+    # benchmark scene.
+    u_extent: Optional[Tuple[float, float]] = None
+    v_extent: Optional[Tuple[float, float]] = None
+
+    def intersect(self, origins: np.ndarray, dirs: np.ndarray):
+        """Ray hit distances (inf where missed). Front-face only."""
+        denom = dirs @ self.normal
+        num = (self.point - origins) @ self.normal
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num / denom
+        ok = (denom < -1e-9) & (t > 0.05)
+        if self.u_extent is not None or self.v_extent is not None:
+            t_safe = np.where(ok, t, 0.0)
+            rel = origins + dirs * t_safe[:, None] - self.point
+            if self.u_extent is not None:
+                u = rel @ self.u_axis
+                ok &= (u >= self.u_extent[0]) & (u <= self.u_extent[1])
+            if self.v_extent is not None:
+                v = rel @ self.v_axis
+                ok &= (v >= self.v_extent[0]) & (v <= self.v_extent[1])
+        return np.where(ok, t, np.inf)
+
+    def shade(self, pts: np.ndarray) -> np.ndarray:
+        rel = pts - self.point
+        return texture(rel @ self.u_axis, rel @ self.v_axis, self.tex_seed)
+
+
+@dataclass
+class Cylinder:
+    """Finite vertical-axis cylinder (curved shell only): the canonical
+    non-planar clutter primitive — its voxels never fit one plane, which
+    exercises the octree-layer subdivision the planar room cannot."""
+
+    center: np.ndarray  # base center
+    axis: np.ndarray  # unit axis
+    radius: float
+    height: float
+    tex_seed: int = 0
+
+    def intersect(self, origins: np.ndarray, dirs: np.ndarray):
+        a_ = self.axis
+        oc = origins - self.center
+        d_perp = dirs - np.outer(dirs @ a_, a_)
+        o_perp = oc - np.outer(oc @ a_, a_)
+        A = np.sum(d_perp * d_perp, axis=-1)
+        B = 2 * np.sum(o_perp * d_perp, axis=-1)
+        C = np.sum(o_perp * o_perp, axis=-1) - self.radius**2
+        disc = B * B - 4 * A * C
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t0 = (-B - sq) / (2 * A)
+            t1 = (-B + sq) / (2 * A)
+        t = np.where(t0 > 0.05, t0, t1)  # nearest entering hit (outside view)
+        h = (oc + dirs * t[:, None]) @ a_
+        ok = (disc > 0) & (A > 1e-12) & (t > 0.05) & (h >= 0) & (h <= self.height)
+        return np.where(ok, t, np.inf)
+
+    def shade(self, pts: np.ndarray) -> np.ndarray:
+        a_ = self.axis
+        rel = pts - self.center
+        h = rel @ a_
+        r = rel - np.outer(h, a_)
+        # texture by unrolled surface coords (arc length, height)
+        ref = np.array([1.0, 0.0, 0.0])
+        ref = ref - (ref @ a_) * a_
+        ref /= np.linalg.norm(ref)
+        ref2 = np.cross(a_, ref)
+        th = np.arctan2(r @ ref2, r @ ref)
+        return texture(th * self.radius, h, self.tex_seed)
+
+
+def make_box(center, size, tex_seed=10) -> List[Plane]:
+    """Axis-aligned box as 6 outward-facing bounded rectangles."""
+    cx, cy, cz = center
+    hx, hy, hz = np.asarray(size) / 2.0
+    e = np.eye(3)
+    out = []
+    for k, (ax, h_ax) in enumerate(((0, hx), (1, hy), (2, hz))):
+        u, v = e[(ax + 1) % 3], e[(ax + 2) % 3]
+        hu = (hy, hz, hx)[ax]
+        hv = (hz, hx, hy)[ax]
+        for sgn in (1.0, -1.0):
+            p = np.array(center) + sgn * h_ax * e[ax]
+            out.append(Plane(p, sgn * e[ax], u, v, tex_seed + k * 2 + (sgn < 0),
+                             u_extent=(-hu, hu), v_extent=(-hv, hv)))
+    return out
+
+
+def make_ramp(base_center, width, length, height, yaw=0.0, tex_seed=20) -> Plane:
+    """Inclined rectangle rising along its local +x over `length`."""
+    Rz = _rotz(yaw)
+    slope = np.array([length, 0.0, height])
+    slope = slope / np.linalg.norm(slope)
+    u = Rz @ slope
+    v = Rz @ np.array([0.0, 1.0, 0.0])
+    n = np.cross(u, v)
+    n = n / np.linalg.norm(n)
+    if n[2] < 0:
+        n = -n
+    L = np.hypot(length, height)
+    return Plane(np.asarray(base_center, float), n, u, v, tex_seed,
+                 u_extent=(0.0, L), v_extent=(-width / 2, width / 2))
 
 
 def default_room(half: float = 6.0, height: float = 3.0) -> List[Plane]:
@@ -42,6 +146,40 @@ def default_room(half: float = 6.0, height: float = 3.0) -> List[Plane]:
         Plane(np.array([0, half, 0]), -e[1], e[0], e[2], 5),  # +y wall
         Plane(np.array([0, -half, 0]), e[1], e[0], e[2], 6),  # -y wall
     ]
+
+
+def hard_scene(half: float = 6.0, height: float = 3.0):
+    """Hard benchmark scene (round-2 accuracy gate): the planar room plus
+    non-planar clutter — boxes (occluders → depth discontinuities at
+    their silhouettes), cylinders (voxels that never fit one plane →
+    octree subdivision), and a ramp (oblique plane). A planar box room is
+    the best case for a plane-matching LIO; this scene is built to
+    discriminate (VERDICT round 1, item 1b)."""
+    s = default_room(half, height)
+    z0 = -1.5
+    s += make_box((2.6, 1.6, z0 + 0.6), (1.2, 1.0, 1.2), tex_seed=30)
+    s += make_box((-2.2, -2.6, z0 + 0.5), (1.6, 0.8, 1.0), tex_seed=40)
+    s += make_box((0.5, -3.6, z0 + 0.75), (0.8, 0.8, 1.5), tex_seed=50)
+    up = np.array([0.0, 0.0, 1.0])
+    s.append(Cylinder(np.array([3.6, -2.0, z0]), up, 0.45, height, 60))
+    s.append(Cylinder(np.array([-3.0, 2.6, z0]), up, 0.60, height, 61))
+    s.append(Cylinder(np.array([1.0, 4.0, z0]), up, 0.35, height, 62))
+    s.append(make_ramp((-1.0, 0.6, z0), width=1.5, length=2.5, height=1.0,
+                       yaw=2.0, tex_seed=70))
+    return s
+
+
+def hard_trajectory() -> "Trajectory":
+    """Aggressive motion for the hard benchmark: ~3.5 m/s peak velocity,
+    ~8 m/s² peak acceleration, fast yaw sweep with 0.15 rad roll/pitch
+    oscillation — far beyond the handheld pace of the reference's
+    datasets."""
+    return Trajectory(
+        pos_amp=np.array([1.6, 1.4, 0.35]),
+        pos_freq=np.array([0.35, 0.28, 0.5]),
+        yaw_rate=0.6,
+        rp_amp=0.15,
+    )
 
 
 def texture(u: np.ndarray, v: np.ndarray, seed: int) -> np.ndarray:
@@ -120,18 +258,17 @@ def imu_stream(traj: Trajectory, t0: float, t1: float, hz: float, rng,
     return stamps, np.array(gyr), np.array(acc)
 
 
-def ray_hits(origins: np.ndarray, dirs: np.ndarray, planes: List[Plane]):
-    """Nearest positive ray-plane hit. origins/dirs (N, 3). Returns
-    (t (N,), plane_idx (N,), hit mask)."""
+def ray_hits(origins: np.ndarray, dirs: np.ndarray, surfaces):
+    """Nearest positive ray-surface hit. origins/dirs (N, 3). Returns
+    (t (N,), surface_idx (N,), hit mask). Surfaces expose
+    intersect(origins, dirs) -> t (inf = miss); nearest-hit selection
+    gives occlusion for free."""
     n = origins.shape[0]
     best_t = np.full(n, np.inf)
     best_i = np.full(n, -1, np.int32)
-    for i, pl in enumerate(planes):
-        denom = dirs @ pl.normal
-        num = (pl.point - origins) @ pl.normal
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = num / denom
-        ok = (denom < -1e-9) & (t > 0.05) & (t < best_t)
+    for i, s in enumerate(surfaces):
+        t = s.intersect(origins, dirs)
+        ok = t < best_t
         best_t = np.where(ok, t, best_t)
         best_i = np.where(ok, i, best_i)
     hit = best_i >= 0
@@ -182,11 +319,15 @@ def render_image(traj: Trajectory, planes, t: float, cam, exposure: float = 1.0,
     R_wc = R_cw.T
     cam_origin = -R_wc @ t_cw
 
+    # Per-pixel ray directions through the actual camera model (pinhole
+    # incl. distortion, or equidistant fisheye) — so fisheye sequences
+    # render through the same model the VIO projects with.
+    from ..models import camera as cam_mod
+    import jax.numpy as jnp
+
     ys, xs = np.meshgrid(np.arange(cam.height), np.arange(cam.width), indexing="ij")
-    u = (xs - cam.cx) / cam.fx
-    v = (ys - cam.cy) / cam.fy
-    d_cam = np.stack([u, v, np.ones_like(u)], axis=-1).reshape(-1, 3)
-    d_cam /= np.linalg.norm(d_cam, axis=-1, keepdims=True)
+    px = np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float32)
+    d_cam = np.asarray(cam_mod.cam2world(cam, jnp.asarray(px)), np.float64)
     d_w = d_cam @ R_wc.T
     o = np.broadcast_to(cam_origin, d_w.shape)
     tt, pi, hit = ray_hits(o, d_w, planes)
@@ -196,8 +337,7 @@ def render_image(traj: Trajectory, planes, t: float, cam, exposure: float = 1.0,
         m = hit & (pi == i)
         if not m.any():
             continue
-        rel = pw[m] - pl.point
-        img[m] = texture(rel @ pl.u_axis, rel @ pl.v_axis, pl.tex_seed)
+        img[m] = pl.shade(pw[m])
     img = img * exposure
     return np.clip(img, 0, 255).reshape(cam.height, cam.width).astype(np.float32)
 
@@ -289,17 +429,36 @@ def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
     )
 
 
-def ate_rmse(est: List[Tuple[float, np.ndarray]], gt: List[Tuple[float, np.ndarray, np.ndarray]]):
+def ate_rmse(est: List[Tuple[float, np.ndarray]], gt: List[Tuple[float, np.ndarray, np.ndarray]],
+             align: bool = True):
     """ATE RMSE (m) of estimated positions vs interpolated ground truth,
-    after aligning the first pose (the sequences share a world frame up to
-    the initial-gravity yaw, which the shared still-start fixes)."""
+    after SE(3) Umeyama alignment (the evo_ape `-a` convention, the
+    reference's metric of record — Log/result/ntu_viral/README.md).
+
+    Alignment is NOT optional in principle: the estimator's world frame
+    is its initial BODY frame, which differs from the generator's world
+    frame by pose(0) (e.g. Trajectory's initial pitch rp_amp*sin(1.0) ≈
+    2.9°) — an unobservable global transform that every trajectory
+    benchmark quotients out. `align=False` measures the raw frame
+    difference instead."""
     gt_t = np.array([g[0] for g in gt])
     gt_p = np.array([g[2] for g in gt])
-    errs = []
+    P_est, P_gt = [], []
     for t, p in est:
         i = np.clip(np.searchsorted(gt_t, t), 1, len(gt_t) - 1)
         w = (t - gt_t[i - 1]) / max(gt_t[i] - gt_t[i - 1], 1e-9)
-        p_gt = gt_p[i - 1] * (1 - w) + gt_p[i] * w
-        errs.append(p - p_gt)
-    errs = np.array(errs)
+        P_est.append(p)
+        P_gt.append(gt_p[i - 1] * (1 - w) + gt_p[i] * w)
+    P_est = np.array(P_est)
+    P_gt = np.array(P_gt)
+    if align and len(P_est) >= 3:
+        mu_s, mu_d = P_est.mean(0), P_gt.mean(0)
+        xs, xd = P_est - mu_s, P_gt - mu_d
+        U, _, Vt = np.linalg.svd(xd.T @ xs / len(xs))
+        S = np.eye(3)
+        if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+            S[2, 2] = -1
+        R = U @ S @ Vt
+        P_est = (R @ P_est.T).T + (mu_d - R @ mu_s)
+    errs = P_est - P_gt
     return float(np.sqrt(np.mean(np.sum(errs**2, axis=-1))))

@@ -183,12 +183,14 @@ class TPUParams:
     vis_obs_per_point: int = 8  # observation slots per visual point
     frame_ring: int = 64  # reference-frame ring buffer length
     max_tracked_points: int = 256  # per-frame visual submap pad size
-    lio_rematch_fresh: bool = False  # True: full correspondence re-search
-    # on the LIO rematch round (reference re-searches every iteration);
-    # False (default): re-gate the carried matches instead — at the
-    # converged state the matched voxel per point is essentially always
-    # unchanged (measured ATE identical, 0.0524 vs 0.0521 on the 10 s
-    # bench) and it saves one match_planes search (~5 ms/frame).
+    lio_rematch_fresh: bool = True  # True (default): full correspondence
+    # re-search on the LIO rematch round, faithful to the reference
+    # (BuildResidualListOMP every iteration, voxel_map.cpp:409).
+    # False: re-gate the carried matches instead, saving one
+    # match_planes search (~5 ms/frame) — measured identical on the
+    # planar room but 1.8x WORSE ATE on the hard non-planar benchmark
+    # (0.0175 vs 0.0097, tests/test_hard_scene.py), so the shortcut is
+    # opt-in for latency-bound planar-world deployments only.
     fused_frame: bool = False  # one jit per frame (lowest dispatch) vs
     # two (LIO, VIO) — the fused program minimizes per-frame overhead but
     # its first compile is much longer; split is the safe default

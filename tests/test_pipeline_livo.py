@@ -143,6 +143,31 @@ def test_livo_with_raycast_runs():
     assert np.isfinite(p).all() and np.abs(p).max() < 10
 
 
+def test_livo_fisheye_end_to_end():
+    """HILTI-style config path end-to-end: the synthetic room rendered
+    through the equidistant fisheye model (render_image traces rays via
+    cam2world of the actual model) + raycast on, to a passing ATE gate
+    (reference config/camera_fisheye_HILTI22.yaml path)."""
+    cfg = livo_config()
+    cfg.camera.cam_model = "equidistant"
+    cfg.camera.k1, cfg.camera.k2 = -0.04, 0.01
+    cfg.camera.k3, cfg.camera.k4 = -0.002, 0.0003
+    cfg.vio.raycast_en = True
+    cam = cam_mod.make_camera(cfg.camera)
+    seq = synthetic.make_sequence(
+        duration=2.5, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
+        seed=9, n_lines=12, n_per_line=500, render=True, fov_deg=360.0,
+    )
+    pipe = LIVOPipeline(cfg, slam_mode="livo")
+    traj = pipe.process(seq)
+    assert len(traj) >= 15
+    est = [(t, p) for t, R, p in traj]
+    rmse = synthetic.ate_rmse(est, seq.gt)
+    assert rmse < 0.06, f"fisheye LIVO ATE {rmse:.3f} m"
+    tracked = [r.get("n_tracked", 0) for r in pipe.log.rows[3:]]
+    assert np.mean(tracked) > 20, f"fisheye tracked {np.mean(tracked):.0f}"
+
+
 def test_livo_inverse_composition_variant():
     """inverse_composition_en path (updateStateInverse equivalents): the
     6-dof IC update must track the synthetic sequence comparably."""
