@@ -156,6 +156,21 @@ class LIVOPipeline:
         self.last_update_time: Optional[float] = None
         self.frame_id = 0
         self.pending: List[Tuple[np.ndarray, np.ndarray]] = []  # (pts, t_abs)
+        # Streaming ingestion state (the push/poll equivalent of the
+        # reference's sensor callbacks + sync_packages state machine,
+        # LIVMapper.cpp:703-860, :884-1119). process() is a thin
+        # push-everything + drain wrapper over this.
+        self._imu_t = np.zeros((0,), np.float64)
+        self._imu_gyr = np.zeros((0, 3), np.float64)
+        self._imu_acc = np.zeros((0, 3), np.float64)
+        self._img_queue: List[Tuple[float, np.ndarray]] = []
+        self._scan_events: List[float] = []  # scan-end event times
+        self._scan_horizon = -np.inf  # latest pushed point timestamp
+        self._use_images = self.slam_mode == "livo"
+        # IMU-rate odometry output (uav/imu_rate_odom: the 250 Hz
+        # imu_prop_callback, LIVMapper.cpp:576-635), filled per frame
+        # when enabled.
+        self.imu_rate_trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self.log = FrameLog()
         # Pre/post-update state traces (the reference's Log/mat_pre.txt /
@@ -419,142 +434,243 @@ class LIVOPipeline:
         self.last_update_time = t_end
         return imu_pack, jnp.asarray(pack)
 
+    # ---------- streaming ingestion (push/poll) ----------
+
+    def push_imu(self, stamps, gyr, acc):
+        """Append IMU samples (imu_cbk, LIVMapper.cpp:769-818). Arrays or
+        scalars; stamps must be monotonically increasing overall."""
+        self._imu_t = np.concatenate([self._imu_t, np.atleast_1d(np.float64(stamps))])
+        self._imu_gyr = np.concatenate([self._imu_gyr, np.atleast_2d(np.float64(gyr))])
+        self._imu_acc = np.concatenate([self._imu_acc, np.atleast_2d(np.float64(acc))])
+
+    def push_scan(self, t_begin: float, pts: np.ndarray, offs: np.ndarray):
+        """Append one decoded scan (livox/standard_pcl_cbk -> Preprocess,
+        LIVMapper.cpp:703-766). Applies the optional LOAM surf-feature
+        path (feature_extract_enabled -> give_feature,
+        preprocess.cpp:746-980) so only planar points feed the filter."""
+        if self.cfg.preprocess.feature_extract_enabled and len(pts):
+            keep = lidar_mod.extract_surf_features(
+                pts, offs, blind=self.cfg.preprocess.blind)
+            pts, offs = pts[keep], offs[keep]
+        self.pending.append((pts, t_begin + offs))
+        t_end = t_begin + (offs[-1] if len(offs) else 0.0)
+        self._scan_horizon = max(self._scan_horizon, t_end)
+        if not self._use_images:
+            self._scan_events.append(t_end)
+
+    def push_image(self, t: float, img: np.ndarray):
+        """Append one camera frame (img_cbk, LIVMapper.cpp:829-860).
+        The event (stream-cut) time is the capture time = stamp +
+        exposure_time_init (sync_packages, LIVMapper.cpp:949-1010); the
+        per-image img_time_offset is applied at ingestion by
+        io.dataset.load_sequence, mirroring img_cbk :847.
+
+        The u8 frame ships to the device HERE (async h2d): the transfer
+        overlaps whatever frame is computing, so it is off the blocked
+        critical path by the time this image's event fires."""
+        self._use_images = True
+        if isinstance(img, np.ndarray):
+            img_u8 = (img if img.dtype == np.uint8
+                      else np.clip(img, 0, 255).astype(np.uint8))
+            img = jnp.asarray(img_u8)
+        self._img_queue.append(
+            (t + self.cfg.time_offset.exposure_time_init, img))
+
+    def _event_ready(self, t_ev: float, is_image: bool) -> bool:
+        """sync_packages admission: IMU must extend past the cut time and
+        (for image cuts) LiDAR data must cover the capture time
+        (LIVMapper.cpp:949-1010 wait conditions)."""
+        if self.slam_mode != "only_lo":
+            if not len(self._imu_t) or self._imu_t[-1] <= t_ev:
+                return False
+        return not is_image or self._scan_horizon >= t_ev
+
+    def _imu_buf(self):
+        class _V:
+            imu_stamps = self._imu_t
+            imu_gyr = self._imu_gyr
+            imu_acc = self._imu_acc
+        return _V()
+
+    def poll(self, max_frames: Optional[int] = None, progress: bool = False,
+             flush: bool = False) -> int:
+        """Drain ready events: run one full frame update per image (LIVO)
+        or per scan end (LIO modes) whose input streams have arrived.
+        `flush=True` = end of stream, process the tail regardless of
+        coverage (offline replay). Returns the number of frames run."""
+        n_done = 0
+        while max_frames is None or n_done < max_frames:
+            if self._use_images:
+                if not self._img_queue:
+                    break
+                t_ev, img = self._img_queue[0]
+            else:
+                if not self._scan_events:
+                    break
+                t_ev, img = self._scan_events[0], None
+            if not flush and not self._event_ready(t_ev, img is not None):
+                break
+            (self._img_queue if self._use_images else self._scan_events).pop(0)
+            if self._run_event(t_ev, img, progress=progress):
+                n_done += 1
+        return n_done
+
+    def imu_rate_poses(self, t_until: Optional[float] = None):
+        """IMU-rate odometry between frame updates: forward-only
+        propagation of the last posterior through the buffered IMU
+        samples in (last_update_time, t_until] — the 250 Hz
+        imu_prop_callback (LIVMapper.cpp:576-635). Returns
+        [(t, R (3,3), p (3,), v (3,)), ...] at IMU sample times."""
+        if not self.imu_inited or self.last_update_time is None \
+                or not len(self._imu_t):
+            return []
+        t0 = self.last_update_time
+        t1 = self._imu_t[-1] if t_until is None else t_until
+        if t1 <= t0:
+            return []
+        st, gy, ac = self._imu_slice(t0, t1, self._imu_buf())
+        batch = imu_mod.prepare_imu_batch(
+            st, gy, ac, t0, t1, self.cfg.tpu.max_imu_per_packet)
+        state, _ = unpack_state(self.packed)
+        offs_end, R, p, v, valid = imu_mod.imu_rate_odometry(
+            state, batch, self.noise)
+        keep = np.asarray(valid) > 0.5
+        offs_end = np.asarray(offs_end)[keep]
+        R, p, v = np.asarray(R)[keep], np.asarray(p)[keep], np.asarray(v)[keep]
+        return [(t0 + float(o), R[i], p[i], v[i])
+                for i, o in enumerate(offs_end)]
+
     def process(self, seq, max_frames: Optional[int] = None,
                 progress: bool = False):
         """Run an offline sequence (io.synthetic.SyntheticSequence or the
-        npz reader's equivalent). Returns the TUM-style trajectory list
+        npz reader's equivalent): push every packet, then drain with
+        flush semantics. Returns the TUM-style trajectory list
         [(t, R (3,3) np, p (3,) np), ...]."""
-        feat_en = self.cfg.preprocess.feature_extract_enabled
+        self._use_images = self.slam_mode == "livo" and len(seq.images) > 0
         for t_begin, pts, offs in seq.scans:
-            if feat_en and len(pts):
-                # Optional LOAM surf-feature path (feature_extract_enabled,
-                # LIVMapper.cpp:95 -> give_feature, preprocess.cpp:746-980):
-                # only planar points feed the LIO filter.
-                keep = lidar_mod.extract_surf_features(
-                    pts, offs, blind=self.cfg.preprocess.blind)
-                pts, offs = pts[keep], offs[keep]
-            self.pending.append((pts, t_begin + offs))
+            self.push_scan(t_begin, pts, offs)
         self.pending.sort(key=lambda x: x[1][0] if len(x[1]) else 1e18)
-
-        # Camera frames cut the stream at capture time = image stamp +
-        # exposure_time_init (sync_packages, LIVMapper.cpp:949-1010; the
-        # per-image img_time_offset is applied at ingestion by
-        # io.dataset.load_sequence, mirroring img_cbk :847).
-        t_expo = self.cfg.time_offset.exposure_time_init
-        use_images = self.slam_mode == "livo" and len(seq.images) > 0
-        if use_images:
-            events = [(t + t_expo, img) for t, img in seq.images]
-        else:
-            events = [(t + offs[-1] if len(offs) else t, None)
-                      for t, pts, offs in seq.scans]
-        dummy_img = jnp.zeros(
-            (self.cam.height, self.cam.width), jnp.uint8
-        ) if use_images else jnp.zeros((1, 1), jnp.uint8)
-        n_done = 0
-        for t_ev, img in events:
-            if max_frames is not None and n_done >= max_frames:
-                break
-            if not self.imu_inited:
-                if self.slam_mode == "only_lo":
-                    # No IMU: constant-velocity model from the first scan.
-                    self.noise = imu_mod.make_noise(
-                        acc_cov=self.cfg.imu.acc_cov,
-                        gyr_cov=self.cfg.imu.gyr_cov,
-                    )
-                    self.imu_inited = True
-                    self.last_update_time = t_ev
-                    continue
-                if not self._init_imu(seq, t_ev):
-                    continue
-                self.last_update_time = t_ev
-                # drop sensor data before init end
-                self.pending = [
-                    (p[t > t_ev], t[t > t_ev]) for p, t in self.pending
-                ]
-                continue
-
-            t_frame0 = time.perf_counter()
-            if self.state_trace_en:
-                self.trace_pre.append((t_ev, self.packed))
-            first = not self.map_inited
-            imu_pack, pts_pack = self._prepare_packet(t_ev, seq)
-            use_vio = use_images and img is not None and not first
-            if use_vio:
-                img_u8 = (img if img.dtype == np.uint8
-                          else np.clip(img, 0, 255).astype(np.uint8))
-                img_dev = jnp.asarray(img_u8)
-            else:
-                img_dev = dummy_img
-            fid = jnp.asarray(self.frame_id, jnp.int32)
-            if use_vio and not self.cfg.tpu.fused_frame:
-                (self.packed, self.vmap_state, self.pool, self.ring, diag,
-                 pg_pack) = self._frame_jit(
-                    self.packed, self.vmap_state, self.pool, self.ring,
-                    imu_pack, pts_pack, img_dev, fid,
-                    first=first, use_vio=False, emit_pg=True,
-                )
-                (self.packed, self.pool, self.ring,
-                 vdiag) = self._vio_half_jit(
-                    self.packed, self.pool, self.ring, self.vmap_state,
-                    img_dev, pg_pack, fid,
-                )
-                diag = diag.at[2:5].set(vdiag)
-            else:
-                (self.packed, self.vmap_state, self.pool, self.ring,
-                 diag) = self._frame_jit(
-                    self.packed, self.vmap_state, self.pool, self.ring,
-                    imu_pack, pts_pack, img_dev, fid,
-                    first=first, use_vio=use_vio,
-                )
-            self.map_inited = True
-            if use_vio and self.pcd_accumulate:
-                st, _ = unpack_state(self.packed)
-                # colorize the raw packet points with the posterior pose
-                colors, vis = self._colorize_jit(
-                    img_dev, pts_pack[:, 0:3], pts_pack[:, 4] > 0.5, st
-                )
-                self._cloud_chunks.append((pts_pack[:, 0:3], colors, vis))
-            # Sliding check: a synchronous d2h here would stall the
-            # pipeline (~100 ms on remote links). Instead each check
-            # consumes the position snapshot STARTED at the previous check
-            # (already on host — no stall) and kicks off the next async
-            # copy; the 10-frame decision lag is harmless because crossing
-            # sliding_thresh takes many frames.
-            if self.cfg.local_map.map_sliding_en and self.frame_id % 10 == 0:
-                snap = self._pos_snapshot
-                self._pos_snapshot = self.packed[9:12]
-                try:
-                    self._pos_snapshot.copy_to_host_async()
-                except AttributeError:
-                    pass  # CPU arrays
-                if snap is not None:
-                    pos = np.asarray(snap)
-                    if np.linalg.norm(pos - self._last_slide_pos) > self.cfg.local_map.sliding_thresh:
-                        self._last_slide_pos = pos
-                        self.vmap_state = self._slide_jit(
-                            self.vmap_state, jnp.asarray(pos)
-                        )
-            if _BLOCK:
-                jax.block_until_ready(self.packed)
-            if self.state_trace_en:
-                self.trace_post.append((t_ev, self.packed))
-            self.frame_id += 1
-            n_done += 1
-            # Keep device arrays; converting here would force a blocking
-            # device sync per frame (costly over a remote TPU link).
-            self.trajectory.append((t_ev, self.packed))
-            if self.keyframe_every and (self.frame_id - 1) % self.keyframe_every == 0:
-                self._keyframes.append((t_ev, self.packed, pts_pack))
-            self.log.add(
-                t=t_ev, t_wall=time.perf_counter(),
-                lio_s=time.perf_counter() - t_frame0, vio_s=0.0,
-                diag=diag,
-            )
-            if progress and n_done % 10 == 0:
-                print(f"[livo] frame {n_done} t={t_ev:.2f} "
-                      f"pos={np.asarray(self.packed[9:12]).round(3)}")
+        self.push_imu(seq.imu_stamps, seq.imu_gyr, seq.imu_acc)
+        if self._use_images:
+            for t, img in seq.images:
+                self.push_image(t, img)
+        self.poll(max_frames=max_frames, progress=progress, flush=True)
         self._finalize_host_views()
         return self.trajectory
+
+    def _run_event(self, t_ev: float, img, progress: bool = False) -> bool:
+        """One sync cut: IMU init bootstrap, or a full frame update
+        (the body of the reference's run loop after sync_packages)."""
+        if not self.imu_inited:
+            if self.slam_mode == "only_lo":
+                # No IMU: constant-velocity model from the first scan.
+                self.noise = imu_mod.make_noise(
+                    acc_cov=self.cfg.imu.acc_cov,
+                    gyr_cov=self.cfg.imu.gyr_cov,
+                )
+                self.imu_inited = True
+                self.last_update_time = t_ev
+                return False
+            if not self._init_imu(self._imu_buf(), t_ev):
+                return False
+            self.last_update_time = t_ev
+            # drop sensor data before init end
+            self.pending = [
+                (p[t > t_ev], t[t > t_ev]) for p, t in self.pending
+            ]
+            return False
+
+        t_frame0 = time.perf_counter()
+        if self.state_trace_en:
+            self.trace_pre.append((t_ev, self.packed))
+        first = not self.map_inited
+        # IMU-rate odometry over the interval this frame closes: what a
+        # consumer polled at IMU rate between the previous update and now
+        # (uav/imu_rate_odom, the 250 Hz timer at LIVMapper.cpp:576-635).
+        # Emitted from the PREVIOUS posterior, before last_update_time
+        # advances below.
+        if self.cfg.uav.imu_rate_odom and self.slam_mode != "only_lo" \
+                and not first:
+            self.imu_rate_trajectory.extend(
+                (t, R, p) for t, R, p, _ in self.imu_rate_poses(t_until=t_ev))
+        imu_pack, pts_pack = self._prepare_packet(t_ev, self._imu_buf())
+        use_vio = self._use_images and img is not None and not first
+        if use_vio:
+            img_u8 = (img if img.dtype == np.uint8
+                      else np.clip(img, 0, 255).astype(np.uint8))
+            img_dev = jnp.asarray(img_u8)
+        elif self._use_images:
+            img_dev = jnp.zeros((self.cam.height, self.cam.width), jnp.uint8)
+        else:
+            img_dev = jnp.zeros((1, 1), jnp.uint8)
+        fid = jnp.asarray(self.frame_id, jnp.int32)
+        if use_vio and not self.cfg.tpu.fused_frame:
+            (self.packed, self.vmap_state, self.pool, self.ring, diag,
+             pg_pack) = self._frame_jit(
+                self.packed, self.vmap_state, self.pool, self.ring,
+                imu_pack, pts_pack, img_dev, fid,
+                first=first, use_vio=False, emit_pg=True,
+            )
+            (self.packed, self.pool, self.ring,
+             vdiag) = self._vio_half_jit(
+                self.packed, self.pool, self.ring, self.vmap_state,
+                img_dev, pg_pack, fid,
+            )
+            diag = diag.at[2:5].set(vdiag)
+        else:
+            (self.packed, self.vmap_state, self.pool, self.ring,
+             diag) = self._frame_jit(
+                self.packed, self.vmap_state, self.pool, self.ring,
+                imu_pack, pts_pack, img_dev, fid,
+                first=first, use_vio=use_vio,
+            )
+        self.map_inited = True
+        if use_vio and self.pcd_accumulate:
+            st, _ = unpack_state(self.packed)
+            # colorize the raw packet points with the posterior pose
+            colors, vis = self._colorize_jit(
+                img_dev, pts_pack[:, 0:3], pts_pack[:, 4] > 0.5, st
+            )
+            self._cloud_chunks.append((pts_pack[:, 0:3], colors, vis))
+        # Sliding check: a synchronous d2h here would stall the
+        # pipeline (~100 ms on remote links). Instead each check
+        # consumes the position snapshot STARTED at the previous check
+        # (already on host — no stall) and kicks off the next async
+        # copy; the 10-frame decision lag is harmless because crossing
+        # sliding_thresh takes many frames.
+        if self.cfg.local_map.map_sliding_en and self.frame_id % 10 == 0:
+            snap = self._pos_snapshot
+            self._pos_snapshot = self.packed[9:12]
+            try:
+                self._pos_snapshot.copy_to_host_async()
+            except AttributeError:
+                pass  # CPU arrays
+            if snap is not None:
+                pos = np.asarray(snap)
+                if np.linalg.norm(pos - self._last_slide_pos) > self.cfg.local_map.sliding_thresh:
+                    self._last_slide_pos = pos
+                    self.vmap_state = self._slide_jit(
+                        self.vmap_state, jnp.asarray(pos)
+                    )
+        if _BLOCK:
+            jax.block_until_ready(self.packed)
+        if self.state_trace_en:
+            self.trace_post.append((t_ev, self.packed))
+        self.frame_id += 1
+        # Keep device arrays; converting here would force a blocking
+        # device sync per frame (costly over a remote TPU link).
+        self.trajectory.append((t_ev, self.packed))
+        if self.keyframe_every and (self.frame_id - 1) % self.keyframe_every == 0:
+            self._keyframes.append((t_ev, self.packed, pts_pack))
+        self.log.add(
+            t=t_ev, t_wall=time.perf_counter(),
+            lio_s=time.perf_counter() - t_frame0, vio_s=0.0,
+            diag=diag,
+        )
+        if progress and self.frame_id % 10 == 0:
+            print(f"[livo] frame {self.frame_id} t={t_ev:.2f} "
+                  f"pos={np.asarray(self.packed[9:12]).round(3)}")
+        return True
 
     def _finalize_host_views(self):
         """Batch ALL device->host conversions into one packed transfer: on
