@@ -4,7 +4,9 @@
 One-time offline conversion replacing the reference's live rosbag replay
 (README.md "rosbag play"). Requires the pure-python `rosbags` package
 (pip install rosbags — NOT bundled in the TPU image; run this wherever
-the bags live).
+the bags live). The message-processing core (`build_sequence`) is
+rosbags-independent and covered by tests/test_convert.py with faked
+messages.
 
 Usage:
   python scripts/convert_rosbag.py <bag> <out_dir> \
@@ -17,8 +19,11 @@ vectorized equivalents of the reference's per-vendor handlers).
 
 import argparse
 import sys
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def pointcloud2_to_fields(msg):
@@ -36,6 +41,69 @@ def pointcloud2_to_fields(msg):
     return {n: np.ascontiguousarray(arr[n]) for n in names}
 
 
+def livox_to_fields(msg):
+    """Field dict from a livox CustomMsg (vendored CustomPoint.h layout)."""
+    return {
+        "x": np.array([p.x for p in msg.points], np.float32),
+        "y": np.array([p.y for p in msg.points], np.float32),
+        "z": np.array([p.z for p in msg.points], np.float32),
+        "offset_time": np.array([p.offset_time for p in msg.points],
+                                np.uint64),
+        "tag": np.array([p.tag for p in msg.points], np.uint8),
+    }
+
+
+def decode_image_msg(msg):
+    """sensor_msgs/Image (raw) or CompressedImage -> (H, W[, C]) uint8."""
+    if hasattr(msg, "format"):  # CompressedImage
+        import cv2
+        return cv2.imdecode(np.frombuffer(msg.data, np.uint8),
+                            cv2.IMREAD_GRAYSCALE)
+    h, w = msg.height, msg.width
+    ch = msg.step // w
+    return np.frombuffer(msg.data, np.uint8).reshape(h, w, ch).squeeze()
+
+
+def build_sequence(records, lidar_type: int, blind: float, filter_num: int):
+    """Core conversion, independent of the bag reader. `records` yields
+    (kind, msgtype, stamp_seconds, msg) with kind in
+    {"imu", "lidar", "image"}. Returns an io.dataset.NpzSequence with
+    timestamps rebased to the earliest message."""
+    from fast_livo2_tpu.io.dataset import NpzSequence
+    from fast_livo2_tpu.models import lidar as lidar_mod
+
+    imu_t, gyr, acc = [], [], []
+    scans = []
+    images = []
+    for kind, msgtype, t, msg in records:
+        if kind == "imu":
+            imu_t.append(t)
+            gyr.append([msg.angular_velocity.x, msg.angular_velocity.y,
+                        msg.angular_velocity.z])
+            acc.append([msg.linear_acceleration.x, msg.linear_acceleration.y,
+                        msg.linear_acceleration.z])
+        elif kind == "lidar":
+            fields = (livox_to_fields(msg) if "CustomMsg" in msgtype
+                      else pointcloud2_to_fields(msg))
+            pts, offs = lidar_mod.decode(
+                lidar_type, fields, blind=blind, filter_num=filter_num)
+            scans.append((t, pts, offs))
+        else:
+            images.append((t, decode_image_msg(msg)))
+
+    t0 = min(
+        [imu_t[0] if imu_t else np.inf]
+        + [scans[0][0] if scans else np.inf]
+        + [images[0][0] if images else np.inf]
+    )
+    return NpzSequence(
+        imu_stamps=np.array(imu_t) - t0,
+        imu_gyr=np.array(gyr), imu_acc=np.array(acc),
+        scans=[(t - t0, p, o) for t, p, o in scans],
+        images=[(t - t0, im) for t, im in images],
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("bag")
@@ -50,74 +118,28 @@ def main():
 
     try:
         from rosbags.highlevel import AnyReader
-        from rosbags.typesys import Stores, get_typestore
     except ImportError:
         sys.exit("error: `pip install rosbags` to run the converter "
                  "(pure python, no ROS needed)")
 
-    from pathlib import Path
+    from fast_livo2_tpu.io.dataset import save_sequence
 
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    from fast_livo2_tpu.models import lidar as lidar_mod
-    from fast_livo2_tpu.io.dataset import NpzSequence, save_sequence
+    kind_of = {args.imu_topic: "imu", args.lid_topic: "lidar",
+               args.img_topic: "image"}
 
-    imu_t, gyr, acc = [], [], []
-    scans = []
-    images = []
+    def records():
+        with AnyReader([Path(args.bag)]) as reader:
+            conns = [c for c in reader.connections if c.topic in kind_of]
+            for conn, ts, raw in reader.messages(connections=conns):
+                msg = reader.deserialize(raw, conn.msgtype)
+                t = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
+                yield kind_of[conn.topic], conn.msgtype, t, msg
 
-    with AnyReader([Path(args.bag)]) as reader:
-        conns = [c for c in reader.connections
-                 if c.topic in (args.lid_topic, args.imu_topic, args.img_topic)]
-        for conn, ts, raw in reader.messages(connections=conns):
-            msg = reader.deserialize(raw, conn.msgtype)
-            t = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
-            if conn.topic == args.imu_topic:
-                imu_t.append(t)
-                gyr.append([msg.angular_velocity.x, msg.angular_velocity.y,
-                            msg.angular_velocity.z])
-                acc.append([msg.linear_acceleration.x, msg.linear_acceleration.y,
-                            msg.linear_acceleration.z])
-            elif conn.topic == args.lid_topic:
-                if "CustomMsg" in conn.msgtype:  # livox
-                    fields = {
-                        "x": np.array([p.x for p in msg.points], np.float32),
-                        "y": np.array([p.y for p in msg.points], np.float32),
-                        "z": np.array([p.z for p in msg.points], np.float32),
-                        "offset_time": np.array(
-                            [p.offset_time for p in msg.points], np.uint64),
-                        "tag": np.array([p.tag for p in msg.points], np.uint8),
-                    }
-                else:
-                    fields = pointcloud2_to_fields(msg)
-                pts, offs = lidar_mod.decode(
-                    args.lidar_type, fields, blind=args.blind,
-                    filter_num=args.filter_num)
-                scans.append((t, pts, offs))
-            else:  # image
-                if hasattr(msg, "format"):  # CompressedImage
-                    import cv2
-                    img = cv2.imdecode(np.frombuffer(msg.data, np.uint8),
-                                       cv2.IMREAD_GRAYSCALE)
-                else:
-                    h, w = msg.height, msg.width
-                    ch = msg.step // w
-                    img = np.frombuffer(msg.data, np.uint8).reshape(h, w, ch).squeeze()
-                images.append((t, img))
-
-    t0 = min(
-        [imu_t[0] if imu_t else np.inf]
-        + [scans[0][0] if scans else np.inf]
-        + [images[0][0] if images else np.inf]
-    )
-    seq = NpzSequence(
-        imu_stamps=np.array(imu_t) - t0,
-        imu_gyr=np.array(gyr), imu_acc=np.array(acc),
-        scans=[(t - t0, p, o) for t, p, o in scans],
-        images=[(t - t0, im) for t, im in images],
-    )
+    seq = build_sequence(records(), args.lidar_type, args.blind,
+                         args.filter_num)
     save_sequence(args.out, seq)
-    print(f"wrote {args.out}: {len(imu_t)} imu, {len(scans)} scans, "
-          f"{len(images)} images (t0={t0:.3f})")
+    print(f"wrote {args.out}: {len(seq.imu_stamps)} imu, {len(seq.scans)} "
+          f"scans, {len(seq.images)} images")
 
 
 if __name__ == "__main__":
