@@ -145,17 +145,15 @@ def main():
 
     bsz = int(os.environ.get("BENCH_BATCH", "0"))
     if bsz > 1:
-        from fast_livo2_tpu.parallel.batch import BatchedPipeline
+        from fast_livo2_tpu.parallel.batch import MultiStreamReplay
 
-        bp = BatchedPipeline(cfg, batch=bsz, slam_mode=mode)
-        bp.process([seq] * bsz, block_each=True)
-        bwarm = min(6, len(bp.frame_times) // 3)
-        bt = bp.frame_times[bwarm:]
-        bfps = bsz / float(np.mean(bt))
+        bp = MultiStreamReplay(cfg, batch=bsz, slam_mode=mode)
+        bp.process([seq] * bsz)
+        bfps = bp.n_frames / bp.wall_s if bp.wall_s > 0 else 0.0
         extra["batched_fps_per_chip"] = round(bfps, 2)
         extra["batch"] = bsz
-        log(f"[bench] batched B={bsz}: {np.mean(bt)*1e3:.1f} ms/step -> "
-            f"{bfps:.1f} frames/s/chip aggregate")
+        log(f"[bench] multi-stream B={bsz}: {bp.n_frames} frames in "
+            f"{bp.wall_s:.1f}s -> {bfps:.1f} frames/s/chip aggregate")
     log(f"[bench] {n} frames, total {total:.1f}s (incl. compile), "
         f"blocked latency {lat_ms:.1f} ms/frame, pipelined {fps:.2f} "
         f"frames/s, ATE {rmse:.3f} m")

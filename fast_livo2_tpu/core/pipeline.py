@@ -167,6 +167,14 @@ class LIVOPipeline:
         self._scan_events: List[float] = []  # scan-end event times
         self._scan_horizon = -np.inf  # latest pushed point timestamp
         self._use_images = self.slam_mode == "livo"
+        # Rejected-input accounting (corrupt/NaN/loop-back/oversized
+        # packets; the reference warns and clears buffers in-band,
+        # LIVMapper.cpp:710-795 — offline we drop and count).
+        self.dropped_inputs = {"imu": 0, "lidar_nan": 0,
+                               "lidar_oversize": 0}
+        self._prefetch = None  # (t_ev, (imu_pack, pts_pack)) one ahead
+        self._packet_t0: Optional[float] = None  # packet-prep cursor
+        # (runs ahead of last_update_time by at most one event)
         # IMU-rate odometry output (uav/imu_rate_odom: the 250 Hz
         # imu_prop_callback, LIVMapper.cpp:576-635), filled per frame
         # when enabled.
@@ -399,9 +407,14 @@ class LIVOPipeline:
         return s[i0:i1], seq.imu_gyr[i0:i1], seq.imu_acc[i0:i1]
 
     def _prepare_packet(self, t_end: float, seq):
-        """Host-side ragged->fixed batching of one frame's inputs."""
+        """Host-side ragged->fixed batching of one frame's inputs.
+
+        Advances the packet cursor `_packet_t0` (NOT last_update_time —
+        prefetching may run this one event ahead of processing; the
+        public last_update_time only moves when the event runs)."""
         cfg = self.cfg.tpu
-        t0 = self.last_update_time
+        t0 = (self._packet_t0 if self._packet_t0 is not None
+              else self.last_update_time)
         if self.slam_mode == "only_lo":
             imu_pack = jnp.asarray(np.float32(t_end - t0))
         else:
@@ -431,23 +444,50 @@ class LIVOPipeline:
             pack[:k, 0:3] = pts[:k]
             pack[:k, 3] = offs[:k]
             pack[:k, 4] = 1.0
-        self.last_update_time = t_end
+        self._packet_t0 = t_end
         return imu_pack, jnp.asarray(pack)
 
     # ---------- streaming ingestion (push/poll) ----------
 
     def push_imu(self, stamps, gyr, acc):
         """Append IMU samples (imu_cbk, LIVMapper.cpp:769-818). Arrays or
-        scalars; stamps must be monotonically increasing overall."""
-        self._imu_t = np.concatenate([self._imu_t, np.atleast_1d(np.float64(stamps))])
-        self._imu_gyr = np.concatenate([self._imu_gyr, np.atleast_2d(np.float64(gyr))])
-        self._imu_acc = np.concatenate([self._imu_acc, np.atleast_2d(np.float64(acc))])
+        scalars; stamps must be monotonically increasing overall.
+        Non-finite rows and loop-backs (stamps at/before the newest
+        buffered sample — the reference clears buffers on loop-back,
+        :789-795; offline we drop the stale rows) are rejected and
+        counted in `dropped_inputs`."""
+        t = np.atleast_1d(np.asarray(stamps, np.float64))
+        g = np.atleast_2d(np.asarray(gyr, np.float64))
+        a = np.atleast_2d(np.asarray(acc, np.float64))
+        ok = (np.isfinite(t) & np.isfinite(g).all(axis=-1)
+              & np.isfinite(a).all(axis=-1))
+        if len(self._imu_t):
+            ok &= t > self._imu_t[-1]
+        if not ok.all():
+            self.dropped_inputs["imu"] += int((~ok).sum())
+            t, g, a = t[ok], g[ok], a[ok]
+        self._imu_t = np.concatenate([self._imu_t, t])
+        self._imu_gyr = np.concatenate([self._imu_gyr, g])
+        self._imu_acc = np.concatenate([self._imu_acc, a])
 
     def push_scan(self, t_begin: float, pts: np.ndarray, offs: np.ndarray):
         """Append one decoded scan (livox/standard_pcl_cbk -> Preprocess,
         LIVMapper.cpp:703-766). Applies the optional LOAM surf-feature
         path (feature_extract_enabled -> give_feature,
         preprocess.cpp:746-980) so only planar points feed the filter."""
+        if len(pts):
+            # Corrupt-packet guards (round-2 A2 hardening): drop
+            # non-finite rows; truncate scans beyond the configured pad
+            # size (an oversized packet would silently truncate at
+            # _prepare_packet anyway — account for it here instead).
+            finite = np.isfinite(pts).all(axis=-1) & np.isfinite(offs)
+            if not finite.all():
+                self.dropped_inputs["lidar_nan"] += int((~finite).sum())
+                pts, offs = pts[finite], offs[finite]
+            cap = 4 * self.cfg.tpu.max_points_per_scan
+            if len(pts) > cap:
+                self.dropped_inputs["lidar_oversize"] += len(pts) - cap
+                pts, offs = pts[:cap], offs[:cap]
         if self.cfg.preprocess.feature_extract_enabled and len(pts):
             keep = lidar_mod.extract_surf_features(
                 pts, offs, blind=self.cfg.preprocess.blind)
@@ -514,6 +554,23 @@ class LIVOPipeline:
             if self._run_event(t_ev, img, progress=progress):
                 n_done += 1
         return n_done
+
+    def _prefetch_next(self):
+        """Speculatively run _prepare_packet for the next queued event if
+        its input streams are complete (safe: events process in order and
+        sensors push monotonically, so the consumed pending state is
+        exactly what the event will need)."""
+        if self._prefetch is not None or not (self.imu_inited
+                                              and self.map_inited):
+            return
+        q = self._img_queue if self._use_images else self._scan_events
+        if not q:
+            return
+        t_nxt = q[0][0] if self._use_images else q[0]
+        if not self._event_ready(t_nxt, self._use_images):
+            return
+        self._prefetch = (
+            t_nxt, self._prepare_packet(t_nxt, self._imu_buf()))
 
     def imu_rate_poses(self, t_until: Optional[float] = None):
         """IMU-rate odometry between frame updates: forward-only
@@ -593,7 +650,15 @@ class LIVOPipeline:
                 and not first:
             self.imu_rate_trajectory.extend(
                 (t, R, p) for t, R, p, _ in self.imu_rate_poses(t_until=t_ev))
-        imu_pack, pts_pack = self._prepare_packet(t_ev, self._imu_buf())
+        if self._prefetch is not None and self._prefetch[0] == t_ev:
+            imu_pack, pts_pack = self._prefetch[1]
+            self._prefetch = None
+        else:
+            self._prefetch = None  # stale speculation cannot occur (events
+            # process in order and the packet prep consumed pending state),
+            # but guard anyway
+            imu_pack, pts_pack = self._prepare_packet(t_ev, self._imu_buf())
+        self.last_update_time = t_ev
         use_vio = self._use_images and img is not None and not first
         if use_vio:
             img_u8 = (img if img.dtype == np.uint8
@@ -652,6 +717,11 @@ class LIVOPipeline:
                     self.vmap_state = self._slide_jit(
                         self.vmap_state, jnp.asarray(pos)
                     )
+        # One-ahead packet prefetch: build + ship the NEXT ready event's
+        # imu/points packet now, so its h2d transfer (the largest h2d on
+        # the frame, ~0.6 MB f32) overlaps this frame's device compute
+        # instead of sitting on the next frame's blocked critical path.
+        self._prefetch_next()
         if _BLOCK:
             jax.block_until_ready(self.packed)
         if self.state_trace_en:

@@ -117,6 +117,99 @@ def test_imu_rate_poses_between_updates(seq):
         assert np.linalg.norm(p - p_gt) < 0.05
 
 
+def test_streaming_livo_with_images_matches_offline():
+    """LIVO-mode streaming: images + scans + IMU pushed in time order,
+    image events held until LiDAR covers the capture time, trajectory
+    matches the offline replay."""
+    from fast_livo2_tpu.models import camera as cam_mod
+    from fast_livo2_tpu.utils.config import CameraConfig
+
+    cam_cfg = CameraConfig(cam_model="Pinhole", cam_width=320,
+                           cam_height=256, scale=1.0, cam_fx=200.0,
+                           cam_fy=200.0, cam_cx=160.0, cam_cy=128.0)
+    cam = cam_mod.make_camera(cam_cfg)
+    lseq = synthetic.make_sequence(
+        duration=2.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0, cam=cam,
+        seed=3, n_lines=12, n_per_line=500, render=True, fov_deg=360.0,
+    )
+    cfg = small_config()
+    cfg.camera = cam_cfg
+    cfg.extrin_calib.Rcl = list(synthetic.R_CI_FORWARD.reshape(-1))
+    cfg.extrin_calib.Pcl = [0.0, 0.0, 0.0]
+    cfg.tpu.vis_point_capacity = 8192
+    cfg.tpu.frame_ring = 32
+    cfg.vio.patch_pyrimid_level = 3
+
+    ref = LIVOPipeline(cfg, slam_mode="livo")
+    traj_ref = ref.process(lseq)
+
+    import copy
+    pipe = LIVOPipeline(copy.deepcopy(cfg), slam_mode="livo")
+    events = (
+        [("scan", s[0] + (s[2][-1] if len(s[2]) else 0), s) for s in lseq.scans]
+        + [("img", t, (t, im)) for t, im in lseq.images]
+        + [("imu", t, i) for i, t in enumerate(lseq.imu_stamps)]
+    )
+    events.sort(key=lambda e: e[1])
+    n = 0
+    for kind, _, payload in events:
+        if kind == "scan":
+            pipe.push_scan(payload[0], payload[1], payload[2])
+        elif kind == "img":
+            pipe.push_image(*payload)
+        else:
+            i = payload
+            pipe.push_imu(lseq.imu_stamps[i:i + 1], lseq.imu_gyr[i:i + 1],
+                          lseq.imu_acc[i:i + 1])
+        n += pipe.poll()
+    n += pipe.poll(flush=True)
+    pipe._finalize_host_views()
+
+    assert n == len(pipe.trajectory) == len(traj_ref)
+    for (t0, R0, p0), (t1, R1, p1) in zip(traj_ref, pipe.trajectory):
+        assert t0 == t1
+        np.testing.assert_allclose(p0, p1, atol=1e-5)
+
+
+def test_corrupt_inputs_dropped_and_counted(seq):
+    """A2 hardening: NaN sensor rows, IMU loop-backs, and oversized
+    scans are rejected at ingestion (counted in dropped_inputs) and the
+    pipeline still tracks."""
+    pipe = LIVOPipeline(small_config(), slam_mode="only_lio")
+    # corrupt scan: NaN rows interleaved + an IMU loop-back + NaN imu row
+    for i, (tb, pts, offs) in enumerate(seq.scans):
+        if i == 3:
+            bad = pts.copy()
+            bad[::7] = np.nan
+            pipe.push_scan(tb, np.concatenate([bad, pts]),
+                           np.concatenate([offs, offs]))
+        else:
+            pipe.push_scan(tb, pts, offs)
+    pipe.push_imu(seq.imu_stamps, seq.imu_gyr, seq.imu_acc)
+    pipe.push_imu(seq.imu_stamps[:5], seq.imu_gyr[:5], seq.imu_acc[:5])  # loop-back
+    pipe.push_imu(np.array([seq.imu_stamps[-1] + 0.005]),
+                  np.full((1, 3), np.nan), np.zeros((1, 3)))  # NaN row
+    n = pipe.poll(flush=True)
+    pipe._finalize_host_views()
+    assert n >= 15
+    assert pipe.dropped_inputs["lidar_nan"] > 0
+    assert pipe.dropped_inputs["imu"] == 6
+    p = np.array([p for _, _, p in pipe.trajectory])
+    assert np.isfinite(p).all()
+    est = [(t, p) for t, _, p in pipe.trajectory]
+    assert synthetic.ate_rmse(est, seq.gt) < 0.06
+
+
+def test_oversized_scan_truncated():
+    pipe = LIVOPipeline(small_config(), slam_mode="only_lio")
+    cap = 4 * pipe.cfg.tpu.max_points_per_scan
+    big = np.random.default_rng(0).uniform(-5, 5, (cap + 100, 3)).astype(np.float32)
+    offs = np.linspace(0, 0.1, cap + 100).astype(np.float32)
+    pipe.push_scan(0.0, big, offs)
+    assert pipe.dropped_inputs["lidar_oversize"] == 100
+    assert len(pipe.pending[0][0]) == cap
+
+
 def test_imu_rate_trajectory_via_config(seq):
     """uav/imu_rate_odom=true fills imu_rate_trajectory during process()
     with poses strictly between frame updates."""
