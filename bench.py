@@ -119,6 +119,51 @@ def main():
     log(f"[bench] pipelined runs: {[round(f, 2) for f in fps_runs]}")
 
     extra = {}
+    if os.environ.get("BENCH_PACED", "1") == "1":
+        # Deployment-realistic online latency: frames arrive at the
+        # sensor rate (10 Hz) instead of back-to-back, so the deferred
+        # map insert and the one-ahead prefetch run in the inter-frame
+        # idle — this is the pose latency a robot consuming the stream
+        # would see (the reference's "real-time" operating point).
+        from fast_livo2_tpu.core import pipeline as pm
+
+        blk = pm._BLOCK
+        pm._BLOCK = False
+        pipe3 = LIVOPipeline(cfg, slam_mode=mode)
+        for tb, pts, offs in seq.scans:
+            pipe3.push_scan(tb, pts, offs)
+        pipe3.pending.sort(key=lambda x: x[1][0] if len(x[1]) else 1e18)
+        pipe3.push_imu(seq.imu_stamps, seq.imu_gyr, seq.imu_acc)
+        if mode == "livo":
+            for t, im in seq.images:
+                pipe3.push_image(t, im)
+        import jax as _jax
+
+        lats = []
+        t_wall0 = None
+        t_sim0 = None
+        while True:
+            q = pipe3._img_queue if pipe3._use_images else pipe3._scan_events
+            if not q:
+                break
+            t_ev = q[0][0] if pipe3._use_images else q[0]
+            if t_wall0 is None:
+                t_wall0, t_sim0 = time.perf_counter(), t_ev
+            else:
+                target = t_wall0 + (t_ev - t_sim0)  # sim time is seconds
+                while time.perf_counter() < target:
+                    time.sleep(0.001)
+            t0p = time.perf_counter()
+            if not pipe3.poll(max_frames=1, flush=True):
+                continue
+            jax.block_until_ready(pipe3.packed)
+            lats.append(time.perf_counter() - t0p)
+        pm._BLOCK = blk
+        warm3 = min(6, len(lats) // 3)
+        paced = float(np.median(lats[warm3:])) * 1e3 if lats else 0.0
+        extra["paced_latency_ms"] = round(paced, 1)
+        log(f"[bench] paced (10 Hz arrival) pose latency: {paced:.1f} ms")
+
     if os.environ.get("BENCH_HARD", "1") == "1":
         # Hard-benchmark accuracy (non-planar clutter + aggressive
         # motion + exposure ramp, tests/test_hard_scene.py's scene at

@@ -196,10 +196,19 @@ class LIVOPipeline:
         don = () if _NO_DONATE else (1, 2, 3)
         donv = () if _NO_DONATE else (1, 2)
         self._frame_jit = jax.jit(
-            self._frame_step, static_argnames=("first", "use_vio", "emit_pg"),
+            self._frame_step,
+            static_argnames=("first", "use_vio", "emit_pg", "do_map"),
             donate_argnums=don,
         )
         self._vio_half_jit = jax.jit(self._vio_half, donate_argnums=donv)
+        # Deferred map insert (tpu.deferred_map_insert): the voxel-map
+        # insert as its own tail program over the pg_pack interface.
+        self._map_jit = jax.jit(
+            lambda m, pg: vmap_mod.update_map(
+                m, pg[:, 0:3], pg[:, 6:12], pg[:, 12] > 0.5,
+                self.map_cfg, compact=True),
+            donate_argnums=() if _NO_DONATE else (0,),
+        )
         self._colorize_jit = jax.jit(
             lambda img, pts, valid, state: vio_mod.colorize_points(
                 img.astype(jnp.float32), pts, valid, state, self.cam,
@@ -236,7 +245,7 @@ class LIVOPipeline:
 
     def _frame_step(self, packed_sc, vmap_state, pool, ring, imu_pack,
                     pts_pack, img, frame_id, first: bool, use_vio: bool,
-                    emit_pg: bool = False):
+                    emit_pg: bool = False, do_map: bool = True):
         """The frame as one device program. imu_pack: (K, 9) packed IMU
         intervals (or scalar dt in only_lo mode); pts_pack: (N, 5) packed
         [xyz | t_offs | valid]. Returns (packed_sc, map, pool, ring,
@@ -308,7 +317,7 @@ class LIVOPipeline:
             max_iterations=cfg.lio.max_iterations if "lio" not in _SKIP else 1,
             rematch_fresh=cfg.tpu.lio_rematch_fresh,
         )
-        if "map" not in _SKIP:
+        if do_map and "map" not in _SKIP:
             vmap_state = vmap_mod.update_map(
                 vmap_state, res.pts_w, res.var_w, down_valid, self.map_cfg,
                 compact=True,
@@ -669,12 +678,15 @@ class LIVOPipeline:
         else:
             img_dev = jnp.zeros((1, 1), jnp.uint8)
         fid = jnp.asarray(self.frame_id, jnp.int32)
+        defer_map = (self.cfg.tpu.deferred_map_insert and not first
+                     and "map" not in _SKIP)
         if use_vio and not self.cfg.tpu.fused_frame:
             (self.packed, self.vmap_state, self.pool, self.ring, diag,
              pg_pack) = self._frame_jit(
                 self.packed, self.vmap_state, self.pool, self.ring,
                 imu_pack, pts_pack, img_dev, fid,
                 first=first, use_vio=False, emit_pg=True,
+                do_map=not defer_map,
             )
             (self.packed, self.pool, self.ring,
              vdiag) = self._vio_half_jit(
@@ -683,20 +695,39 @@ class LIVOPipeline:
             )
             diag = diag.at[2:5].set(vdiag)
         else:
-            (self.packed, self.vmap_state, self.pool, self.ring,
-             diag) = self._frame_jit(
+            emit_pg = self.pcd_accumulate or defer_map
+            out = self._frame_jit(
                 self.packed, self.vmap_state, self.pool, self.ring,
                 imu_pack, pts_pack, img_dev, fid,
-                first=first, use_vio=use_vio,
+                first=first, use_vio=use_vio, emit_pg=emit_pg,
+                do_map=not defer_map,
             )
+            (self.packed, self.vmap_state, self.pool, self.ring,
+             diag) = out[:5]
+            pg_pack = out[5] if emit_pg else None
+        if defer_map:
+            # Tail program: queued after the pose-producing calls, so
+            # blocking on the pose does not wait for the insert, while
+            # the next frame's programs (queued later) see the updated
+            # map.
+            self.vmap_state = self._map_jit(self.vmap_state, pg_pack)
         self.map_inited = True
-        if use_vio and self.pcd_accumulate:
-            st, _ = unpack_state(self.packed)
-            # colorize the raw packet points with the posterior pose
-            colors, vis = self._colorize_jit(
-                img_dev, pts_pack[:, 0:3], pts_pack[:, 4] > 0.5, st
-            )
-            self._cloud_chunks.append((pts_pack[:, 0:3], colors, vis))
+        if self.pcd_accumulate and not first and pg_pack is not None:
+            # Colored world-map accumulation (savePCD,
+            # LIVMapper.cpp:484-532): the downsampled undistorted
+            # POSTERIOR world points this frame contributed to the map,
+            # colorized from the frame image when one exists (XYZRGB),
+            # else kept as geometry-only (the reference's XYZI path).
+            pts_w = pg_pack[:, 0:3]
+            pvalid = pg_pack[:, 12] > 0.5
+            if use_vio:
+                st, _ = unpack_state(self.packed)
+                colors, vis = self._colorize_jit(img_dev, pts_w, pvalid, st)
+                keep = vis
+            else:
+                colors, keep = None, pvalid
+            self._cloud_chunks.append(
+                (pts_w, colors, keep, self.packed[9:12]))
         # Sliding check: a synchronous d2h here would stall the
         # pipeline (~100 ms on remote links). Instead each check
         # consumes the position snapshot STARTED at the previous check
@@ -835,6 +866,70 @@ class LIVOPipeline:
             export_mod.write_png(path, rgb)
             written.append(path)
         return written
+
+    def _collect_cloud(self):
+        """One batched d2h of the accumulated colored world cloud:
+        (pts (M, 3), rgb (M, 3) uint8 or None, per-chunk sensor
+        positions (K, 3), chunk ids (M,))."""
+        chunks = self._cloud_chunks
+        if not chunks:
+            return (np.zeros((0, 3), np.float32), None,
+                    np.zeros((0, 3), np.float32), np.zeros(0, np.int32))
+        has_color = chunks[0][1] is not None
+        pts_d = jnp.concatenate([c[0] for c in chunks])
+        keep_d = jnp.concatenate([c[2] for c in chunks])
+        sens_d = jnp.stack([c[3] for c in chunks])
+        pts = np.asarray(pts_d)
+        keep = np.asarray(keep_d)
+        sensors = np.asarray(sens_d)
+        n = chunks[0][0].shape[0]
+        chunk_id = np.repeat(np.arange(len(chunks), dtype=np.int32), n)
+        rgb = None
+        if has_color:
+            cols = np.asarray(jnp.concatenate([c[1] for c in chunks]))
+            if cols.shape[1] == 1:
+                cols = np.repeat(cols, 3, axis=1)
+            rgb = np.clip(cols, 0, 255).astype(np.uint8)
+        return (pts[keep], rgb[keep] if rgb is not None else None,
+                sensors, chunk_id[keep])
+
+    def save_pcd(self, path: str, binary: bool = True):
+        """Write the accumulated colored world cloud (savePCD,
+        LIVMapper.cpp:484-532; enable with pcd_save/pcd_save_en). XYZRGB
+        when images colorized the run, XYZ otherwise."""
+        from ..io import export as export_mod
+
+        pts, rgb, _, _ = self._collect_cloud()
+        export_mod.write_pcd(path, pts, colors=rgb, binary=binary)
+        return len(pts)
+
+    def save_mesh(self, path: str, grid: int = 256, min_weight: float = 1.0):
+        """Dense colored mesh of the accumulated cloud: TSDF integration
+        per frame chunk (sensor origin = that frame's posterior
+        position) -> marching tetrahedra -> vertex recoloring -> PLY
+        (the reference's savePCD + scripts/mesh.py chain in one call)."""
+        from ..io import tsdf as tsdf_mod
+
+        pts, rgb, sensors, chunk_id = self._collect_cloud()
+        if not len(pts):
+            tsdf_mod.write_ply_mesh(path, np.zeros((0, 3)),
+                                    np.zeros((0, 3), np.int32))
+            return 0
+        center = 0.5 * (pts.min(0) + pts.max(0))
+        side = float((pts.max(0) - pts.min(0)).max()) * 1.1 + 1e-3
+        vol = tsdf_mod.make_volume(center, side, grid=grid)
+        for k in range(len(sensors)):
+            m = chunk_id == k
+            if not m.any():
+                continue
+            vol = tsdf_mod.integrate(
+                vol, jnp.asarray(pts[m]), jnp.ones(int(m.sum()), bool),
+                jnp.asarray(sensors[k], jnp.float32))
+        verts, faces = tsdf_mod.extract_mesh(vol, min_weight=min_weight)
+        colors = (tsdf_mod.colorize_vertices(verts, pts, rgb)
+                  if rgb is not None and len(verts) else None)
+        tsdf_mod.write_ply_mesh(path, verts, faces, colors)
+        return len(faces)
 
     def export_colmap(self, out_dir: str):
         """COLMAP sparse-model text export of the camera trajectory and

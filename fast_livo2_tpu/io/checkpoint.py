@@ -40,8 +40,22 @@ def save(path: str, pipeline) -> None:
         ),
         "imu_inited": bool(pipeline.imu_inited),
         "map_inited": bool(pipeline.map_inited),
-        "version": 1,
+        "n_pending": len(pipeline.pending),
+        "n_scan_events": len(pipeline._scan_events),
+        "version": 2,
     }
+    # Streaming ingestion state (v2): undelivered scan points + IMU
+    # buffer + queued scan events, so a mid-stream pipeline resumes
+    # exactly (image queues hold device arrays and are intentionally
+    # not persisted — re-push images after resume).
+    arrays["stream_imu_t"] = pipeline._imu_t
+    arrays["stream_imu_gyr"] = pipeline._imu_gyr
+    arrays["stream_imu_acc"] = pipeline._imu_acc
+    arrays["stream_scan_events"] = np.asarray(pipeline._scan_events,
+                                              np.float64)
+    for i, (pts, t_abs) in enumerate(pipeline.pending):
+        arrays[f"pend_pts_{i}"] = pts
+        arrays[f"pend_t_{i}"] = t_abs
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
@@ -83,3 +97,14 @@ def load(path: str, pipeline) -> None:
     pipeline.last_update_time = meta["last_update_time"]
     pipeline.imu_inited = meta["imu_inited"]
     pipeline.map_inited = meta["map_inited"]
+    pipeline._packet_t0 = None
+    pipeline._prefetch = None
+    if meta.get("version", 1) >= 2:
+        pipeline._imu_t = data["stream_imu_t"]
+        pipeline._imu_gyr = data["stream_imu_gyr"]
+        pipeline._imu_acc = data["stream_imu_acc"]
+        pipeline._scan_events = list(data["stream_scan_events"])
+        pipeline.pending = [
+            (data[f"pend_pts_{i}"], data[f"pend_t_{i}"])
+            for i in range(meta.get("n_pending", 0))
+        ]

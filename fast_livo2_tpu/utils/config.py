@@ -191,6 +191,15 @@ class TPUParams:
     # planar room but 1.8x WORSE ATE on the hard non-planar benchmark
     # (0.0175 vs 0.0097, tests/test_hard_scene.py), so the shortcut is
     # opt-in for latency-bound planar-world deployments only.
+    deferred_map_insert: bool = True  # dispatch the voxel-map insert as
+    # a separate device program AFTER the pose-producing programs: the
+    # posterior pose no longer waits for the ~16 ms insert (blocked
+    # latency win), while queue order still guarantees the NEXT frame's
+    # LIO matches against the updated map. Only semantic change: the
+    # same frame's VIO normal-refinement/raycast queries see the map as
+    # of the previous frame (the reference updates the map before
+    # handleVIO, LIVMapper.cpp:430-448) — measured ATE-neutral on the
+    # hard benchmark.
     fused_frame: bool = False  # one jit per frame (lowest dispatch) vs
     # two (LIO, VIO) — the fused program minimizes per-frame overhead but
     # its first compile is much longer; split is the safe default

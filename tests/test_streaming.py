@@ -210,6 +210,40 @@ def test_oversized_scan_truncated():
     assert len(pipe.pending[0][0]) == cap
 
 
+def test_midstream_checkpoint_resume_exact(tmp_path, seq):
+    """Checkpoint taken mid-stream (undelivered scans + IMU buffer +
+    queued events persisted, v2) must resume to the exact trajectory of
+    an uninterrupted run."""
+    from fast_livo2_tpu.io import checkpoint
+
+    ref = LIVOPipeline(small_config(), slam_mode="only_lio")
+    traj_ref = ref.process(seq)
+
+    a = LIVOPipeline(small_config(), slam_mode="only_lio")
+    t_cut = 1.3
+    for tb, pts, offs in seq.scans:
+        a.push_scan(tb, pts, offs)  # all scans pushed; imu only to t_cut
+    m = seq.imu_stamps <= t_cut
+    a.push_imu(seq.imu_stamps[m], seq.imu_gyr[m], seq.imu_acc[m])
+    a.poll()
+    n_a = a.frame_id
+    assert 0 < n_a < len(traj_ref)
+    ck = str(tmp_path / "mid.npz")
+    checkpoint.save(ck, a)
+
+    b = LIVOPipeline(small_config(), slam_mode="only_lio")
+    checkpoint.load(ck, b)
+    b.push_imu(seq.imu_stamps[~m], seq.imu_gyr[~m], seq.imu_acc[~m])
+    b.poll(flush=True)
+    b._finalize_host_views()
+    total = n_a + len(b.trajectory)
+    assert total == len(traj_ref)
+    # the resumed tail must match the uninterrupted run exactly
+    for (t0, R0, p0), (t1, R1, p1) in zip(traj_ref[n_a:], b.trajectory):
+        assert t0 == t1
+        np.testing.assert_allclose(p0, p1, atol=1e-6)
+
+
 def test_imu_rate_trajectory_via_config(seq):
     """uav/imu_rate_odom=true fills imu_rate_trajectory during process()
     with poses strictly between frame updates."""
