@@ -578,7 +578,8 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
     sibling_search) candidates: the containing voxel chain (layer l
     active iff its ancestors exist and are not planes), the nearest
     neighbor root voxel, which is only considered when the own chain
-    fails (:680-691), and — sibling_search, default on — the nearest
+    fails (:680-691), and — sibling_search, default OFF (see
+    VoxelMapConfig: measured ATE-neutral) — the nearest
     SIBLING sub-voxel at each layer >= 1 by the same quarter rule (the
     reference recurses into all 8 children of a non-plane node,
     :713-786; the nearest sibling covers the boundary-point case at one

@@ -42,8 +42,21 @@ def save(path: str, pipeline) -> None:
         "map_inited": bool(pipeline.map_inited),
         "n_pending": len(pipeline.pending),
         "n_scan_events": len(pipeline._scan_events),
-        "version": 2,
+        "packet_t0": (None if pipeline._packet_t0 is None
+                      else float(pipeline._packet_t0)),
+        "prefetch_t": (None if pipeline._prefetch is None
+                       else float(pipeline._prefetch[0])),
+        "version": 3,
     }
+    # v3: the one-ahead packet prefetch (pipeline._prefetch_next) has
+    # already destructively consumed `pending` for the next event — a
+    # snapshot that ignored it would resume that event with an
+    # empty/partial scan packet. Persist the built packet itself (and the
+    # packet cursor) so resume is exact mid-prefetch too.
+    if pipeline._prefetch is not None:
+        _, (imu_pack, pts_pack) = pipeline._prefetch
+        arrays["prefetch_imu"] = np.asarray(imu_pack)
+        arrays["prefetch_pts"] = np.asarray(pts_pack)
     # Streaming ingestion state (v2): undelivered scan points + IMU
     # buffer + queued scan events, so a mid-stream pipeline resumes
     # exactly (image queues hold device arrays and are intentionally
@@ -97,8 +110,14 @@ def load(path: str, pipeline) -> None:
     pipeline.last_update_time = meta["last_update_time"]
     pipeline.imu_inited = meta["imu_inited"]
     pipeline.map_inited = meta["map_inited"]
-    pipeline._packet_t0 = None
+    pipeline._packet_t0 = meta.get("packet_t0")
     pipeline._prefetch = None
+    if meta.get("prefetch_t") is not None:
+        pipeline._prefetch = (
+            meta["prefetch_t"],
+            (jnp.asarray(data["prefetch_imu"]),
+             jnp.asarray(data["prefetch_pts"])),
+        )
     if meta.get("version", 1) >= 2:
         pipeline._imu_t = data["stream_imu_t"]
         pipeline._imu_gyr = data["stream_imu_gyr"]

@@ -85,6 +85,13 @@ def write_pcd(path: str, points: np.ndarray, colors: np.ndarray = None,
         f.write(header.encode())
         if binary:
             f.write(np.ascontiguousarray(data, np.float32).tobytes())
+        elif colors is not None:
+            # ascii rgb: write the packed integer itself — the binary
+            # float32 bit-pattern view is a denormal that "%.6f" would
+            # flatten to 0. (Every packed value <= 0xFFFFFF < 2^24 is
+            # exactly representable in float32, so the column round-trips.)
+            np.savetxt(f, np.column_stack([points, packed]),
+                       fmt=["%.6f"] * 3 + ["%d"])
         else:
             np.savetxt(f, data, fmt="%.6f")
 
@@ -113,7 +120,9 @@ def read_pcd(path: str):
     pts = data[:, 0:3]
     colors = intensity = None
     if "rgb" in fields:
-        packed = data[:, fields.index("rgb")].view(np.uint32)
+        col = data[:, fields.index("rgb")]
+        # binary: float32 bit-pattern view; ascii: the packed integer value
+        packed = col.view(np.uint32) if binary else col.astype(np.uint32)
         colors = np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
                            packed & 0xFF], axis=-1).astype(np.uint8)
     if "intensity" in fields:

@@ -182,6 +182,210 @@ def hard_trajectory() -> "Trajectory":
     )
 
 
+def wall_with_opening(p0, u_axis, v_axis, normal, u_range, v_range,
+                      door_u, door_top, tex_seed=0) -> List[Plane]:
+    """A wall rectangle with a door hole, composed of 3 bounded
+    rectangles (left-of-door, right-of-door, above-door). `p0` is the
+    wall's reference point; u is along-wall, v is up."""
+    u0, u1 = u_range
+    v0, v1 = v_range
+    du0, du1 = door_u
+    out = []
+    if du0 > u0:
+        out.append(Plane(np.asarray(p0, float), np.asarray(normal, float),
+                         np.asarray(u_axis, float), np.asarray(v_axis, float),
+                         tex_seed, u_extent=(u0, du0), v_extent=(v0, v1)))
+    if u1 > du1:
+        out.append(Plane(np.asarray(p0, float), np.asarray(normal, float),
+                         np.asarray(u_axis, float), np.asarray(v_axis, float),
+                         tex_seed + 1, u_extent=(du1, u1), v_extent=(v0, v1)))
+    if v1 > door_top:
+        out.append(Plane(np.asarray(p0, float), np.asarray(normal, float),
+                         np.asarray(u_axis, float), np.asarray(v_axis, float),
+                         tex_seed + 2, u_extent=(du0, du1),
+                         v_extent=(door_top, v1)))
+    return out
+
+
+class WaypointTrajectory:
+    """C² trajectory through waypoints: natural cubic splines for x/y/z
+    (knot times proportional to segment length → roughly constant speed)
+    plus a splined heading with a small sinusoidal dither, and a small
+    roll/pitch oscillation. The minutes-scale benchmark worlds
+    (multi-room + corridor + revisits, outdoor sweeps) need paths a
+    global sinusoid cannot express."""
+
+    def __init__(self, waypoints, duration: float, yaw_dither: float = 0.15,
+                 rp_amp: float = 0.05, headings=None):
+        wp = np.asarray(waypoints, float)
+        assert len(wp) >= 3
+        seg = np.linalg.norm(np.diff(wp, axis=0), axis=-1)
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        self.length = float(cum[-1])
+        self.knots = cum / cum[-1] * duration
+        self.duration = duration
+        self.wp = wp
+        self.yaw_dither = yaw_dither
+        self.rp_amp = rp_amp
+        self._coefs = [self._spline(self.knots, wp[:, k]) for k in range(3)]
+        if headings is None:
+            # heading at knot i = incoming segment direction (splined ->
+            # smooth yaw through corners)
+            d = np.diff(wp[:, :2], axis=0)
+            seg_yaw = np.arctan2(d[:, 1], d[:, 0])
+            headings = np.unwrap(np.concatenate([[seg_yaw[0]], seg_yaw]))
+        else:
+            headings = np.unwrap(np.asarray(headings, float))
+        self._yaw_coefs = self._spline(self.knots, headings)
+
+    @staticmethod
+    def _spline(t, y):
+        """Natural cubic spline second derivatives (tridiagonal solve).
+        Returns (t, y, M) for evaluation."""
+        n = len(t)
+        h = np.diff(t)
+        h = np.where(h <= 0, 1e-9, h)
+        A = np.zeros((n, n))
+        b = np.zeros(n)
+        A[0, 0] = A[-1, -1] = 1.0
+        for i in range(1, n - 1):
+            A[i, i - 1] = h[i - 1]
+            A[i, i] = 2 * (h[i - 1] + h[i])
+            A[i, i + 1] = h[i]
+            b[i] = 6 * ((y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1])
+        M = np.linalg.solve(A, b)
+        return t, y, M
+
+    @staticmethod
+    def _eval(coefs, t):
+        tk, y, M = coefs
+        t = np.clip(t, tk[0], tk[-1])
+        i = int(np.clip(np.searchsorted(tk, t) - 1, 0, len(tk) - 2))
+        h = max(tk[i + 1] - tk[i], 1e-9)
+        a = (tk[i + 1] - t) / h
+        b = (t - tk[i]) / h
+        return (a * y[i] + b * y[i + 1]
+                + ((a**3 - a) * M[i] + (b**3 - b) * M[i + 1]) * h * h / 6.0)
+
+    def pose(self, t: float):
+        p = np.array([self._eval(c, t) for c in self._coefs])
+        yaw = (self._eval(self._yaw_coefs, t)
+               + self.yaw_dither * np.sin(0.9 * t))
+        roll = self.rp_amp * np.sin(1.1 * t)
+        pitch = self.rp_amp * np.sin(0.9 * t + 1.0)
+        R = _rotz(yaw) @ _exp(np.array([roll, pitch, 0.0]))
+        return R, p
+
+    def vel(self, t: float, eps=1e-4):
+        _, p0 = self.pose(t - eps)
+        _, p1 = self.pose(t + eps)
+        return (p1 - p0) / (2 * eps)
+
+
+def long_indoor_scene(tex_seed=100):
+    """Minutes-scale indoor world (VERDICT r2 item 1): Room A (12x12 m,
+    cluttered) — 20 m near-degenerate corridor (2 m wide, sparse clutter)
+    — Room B (12x12 m, cluttered). One floor and ceiling span the world;
+    the rooms open into the corridor through door holes. Revisit-friendly:
+    the benchmark path loops A→B→A."""
+    e = np.eye(3)
+    z0, z1 = -1.5, 1.5
+    s: List = [
+        # floor + ceiling spanning rooms and corridor
+        Plane(np.array([16.0, 0.0, z0]), e[2], e[0], e[1], tex_seed,
+              u_extent=(-22.0, 22.0), v_extent=(-6.0, 6.0)),
+        Plane(np.array([16.0, 0.0, z1]), -e[2], e[0], e[1], tex_seed + 1,
+              u_extent=(-22.0, 22.0), v_extent=(-6.0, 6.0)),
+    ]
+    door = (-1.0, 1.0)  # door y-range in both connecting walls
+    top = 1.2
+    # Room A: x in [-6, 6], y in [-6, 6]
+    s.append(Plane(np.array([-6.0, 0, 0]), e[0], e[1], e[2], tex_seed + 2,
+                   u_extent=(-6, 6), v_extent=(z0, z1)))  # west
+    s.append(Plane(np.array([0.0, 6.0, 0]), -e[1], e[0], e[2], tex_seed + 3,
+                   u_extent=(-6, 6), v_extent=(z0, z1)))  # north
+    s.append(Plane(np.array([0.0, -6.0, 0]), e[1], e[0], e[2], tex_seed + 4,
+                   u_extent=(-6, 6), v_extent=(z0, z1)))  # south
+    # east wall with door to corridor
+    s += wall_with_opening(np.array([6.0, 0, 0]), e[1], e[2], -e[0],
+                           (-6, 6), (z0, z1), door, top, tex_seed + 5)
+    # Corridor: x in [6, 26], walls at y = +-1
+    s.append(Plane(np.array([16.0, 1.0, 0]), -e[1], e[0], e[2], tex_seed + 10,
+                   u_extent=(-10, 10), v_extent=(z0, z1)))
+    s.append(Plane(np.array([16.0, -1.0, 0]), e[1], e[0], e[2], tex_seed + 11,
+                   u_extent=(-10, 10), v_extent=(z0, z1)))
+    # sparse corridor clutter (keeps it NEAR-degenerate, not fully)
+    s += make_box((11.0, 0.75, z0 + 0.25), (0.5, 0.4, 0.5), tex_seed + 12)
+    s += make_box((20.0, -0.75, z0 + 0.3), (0.6, 0.4, 0.6), tex_seed + 13)
+    # Room B: x in [26, 38], y in [-6, 6]
+    s += wall_with_opening(np.array([26.0, 0, 0]), e[1], e[2], e[0],
+                           (-6, 6), (z0, z1), door, top, tex_seed + 20)
+    s.append(Plane(np.array([38.0, 0, 0]), -e[0], e[1], e[2], tex_seed + 21,
+                   u_extent=(-6, 6), v_extent=(z0, z1)))
+    s.append(Plane(np.array([32.0, 6.0, 0]), -e[1], e[0], e[2], tex_seed + 22,
+                   u_extent=(-6, 6), v_extent=(z0, z1)))
+    s.append(Plane(np.array([32.0, -6.0, 0]), e[1], e[0], e[2], tex_seed + 23,
+                   u_extent=(-6, 6), v_extent=(z0, z1)))
+    # clutter
+    up = e[2]
+    s += make_box((3.0, 3.2, z0 + 0.6), (1.2, 1.0, 1.2), tex_seed + 30)
+    s += make_box((-3.0, -3.0, z0 + 0.5), (1.6, 0.8, 1.0), tex_seed + 31)
+    s.append(Cylinder(np.array([-4.7, 4.7, z0]), up, 0.5, 3.0, tex_seed + 32))
+    s += make_box((30.0, 3.4, z0 + 0.5), (1.0, 1.2, 1.0), tex_seed + 33)
+    s += make_box((34.5, -3.2, z0 + 0.5), (1.4, 0.9, 1.0), tex_seed + 34)
+    s.append(Cylinder(np.array([31.5, -5.0, z0]), up, 0.45, 3.0, tex_seed + 35))
+    s.append(make_ramp((31.0, 1.0, z0), width=1.4, length=2.2, height=0.9,
+                       yaw=1.2, tex_seed=tex_seed + 36))
+    return s
+
+
+def long_indoor_waypoints(loops: int = 1):
+    """A->corridor->B->loop B->corridor->A->loop A (revisit), repeated
+    `loops` times. ~115 m per loop."""
+    roomA = [(-3.5, -3.5), (-3.5, 3.8), (3.6, 4.0), (4.2, -3.8), (0.0, -2.0)]
+    roomB = [(29.0, -3.8), (35.5, -3.5), (35.8, 3.6), (28.8, 3.8)]
+    path = [(0.0, 0.0)]
+    for _ in range(loops):
+        path += [(3.0, 0.0), (8.0, 0.0), (16.0, 0.0), (24.0, 0.0),
+                 (28.0, 0.0)]
+        path += roomB
+        path += [(28.0, 0.0), (24.0, 0.3), (16.0, -0.3), (8.0, 0.0),
+                 (3.0, 0.0)]
+        path += roomA
+        path += [(0.0, 0.0)]
+    return np.array([[x, y, 0.15 * np.sin(0.7 * i)]
+                     for i, (x, y) in enumerate(path)])
+
+
+def long_outdoor_scene(seed=5, n_buildings=24, extent=260.0, half_width=45.0):
+    """MARS-LVIG-style outdoor world: a ground plane with large box
+    'buildings' scattered along a flight lane. Scale fits the 2 m voxel
+    + map-sliding configuration (config/MARS_LVIG.yaml)."""
+    rng = np.random.default_rng(seed)
+    e = np.eye(3)
+    s: List = [Plane(np.array([extent / 2, 0.0, 0.0]), e[2], e[0], e[1], 900,
+                     u_extent=(-extent / 2 - 40, extent / 2 + 40),
+                     v_extent=(-half_width - 20, half_width + 20))]
+    for i in range(n_buildings):
+        x = rng.uniform(5.0, extent - 5.0)
+        y = rng.uniform(-half_width, half_width)
+        if abs(y) < 6.0:  # keep the flight lane clear
+            y = np.sign(y or 1.0) * rng.uniform(8.0, half_width)
+        w = rng.uniform(6.0, 14.0)
+        d = rng.uniform(6.0, 14.0)
+        h = rng.uniform(6.0, 18.0)
+        s += make_box((x, y, h / 2), (w, d, h), tex_seed=910 + 7 * i)
+    return s
+
+
+def long_outdoor_waypoints(extent=260.0, alt=8.0):
+    """S-curve flight along the lane at ~constant altitude."""
+    xs = np.linspace(0.0, extent - 40.0, 12)
+    ys = 4.0 * np.sin(np.linspace(0, 3.0 * np.pi, 12))
+    zs = alt + 1.5 * np.sin(np.linspace(0, 2.0 * np.pi, 12))
+    return np.stack([xs, ys, zs], axis=-1)
+
+
 def texture(u: np.ndarray, v: np.ndarray, seed: int) -> np.ndarray:
     """Smooth procedural intensity in [30, 225]; band-limited so bilinear
     sampling and image gradients behave like a natural image."""
@@ -258,6 +462,35 @@ def imu_stream(traj: Trajectory, t0: float, t1: float, hz: float, rng,
     return stamps, np.array(gyr), np.array(acc)
 
 
+def _bounding_sphere(s):
+    """(center, radius) of a surface, or None if unbounded."""
+    if isinstance(s, Cylinder):
+        c = s.center + s.axis * (s.height / 2.0)
+        return c, float(np.hypot(s.height / 2.0, s.radius))
+    if isinstance(s, Plane):
+        if s.u_extent is None or s.v_extent is None:
+            return None
+        mu = 0.5 * (s.u_extent[0] + s.u_extent[1])
+        mv = 0.5 * (s.v_extent[0] + s.v_extent[1])
+        c = s.point + mu * s.u_axis + mv * s.v_axis
+        r = float(np.hypot((s.u_extent[1] - s.u_extent[0]) / 2,
+                           (s.v_extent[1] - s.v_extent[0]) / 2))
+        return c, r
+    return None
+
+
+def cull_surfaces(surfaces, origin, max_range):
+    """Drop surfaces whose bounding sphere lies beyond max_range of the
+    origin (generation-speed aid for the minutes-scale worlds: a frame
+    only intersects nearby geometry). Unbounded surfaces are kept."""
+    out = []
+    for s in surfaces:
+        bs = _bounding_sphere(s)
+        if bs is None or np.linalg.norm(bs[0] - origin) - bs[1] <= max_range:
+            out.append(s)
+    return out
+
+
 def ray_hits(origins: np.ndarray, dirs: np.ndarray, surfaces):
     """Nearest positive ray-surface hit. origins/dirs (N, 3). Returns
     (t (N,), surface_idx (N,), hit mask). Surfaces expose
@@ -277,10 +510,13 @@ def ray_hits(origins: np.ndarray, dirs: np.ndarray, surfaces):
 
 def lidar_scan(traj: Trajectory, planes, t_begin: float, period: float,
                n_lines: int, n_per_line: int, rng, range_noise=0.01,
-               fov_deg=70.0):
+               fov_deg=70.0, max_range=None):
     """One motion-distorted scan: ray directions sweep azimuth over the
     scan period from poses at each point's own timestamp. Returns
-    (points_body (N, 3), t_offs (N,) seconds from t_begin)."""
+    (points_body (N, 3), t_offs (N,) seconds from t_begin). `max_range`
+    drops hits beyond the sensor range (and culls far surfaces — the
+    minutes-scale outdoor worlds have ~150 surfaces of which a frame
+    sees a handful)."""
     n = n_lines * n_per_line
     frac = np.tile(np.linspace(0, 1, n_per_line, endpoint=False), n_lines)
     az = (frac - 0.5) * np.deg2rad(fov_deg)
@@ -289,21 +525,26 @@ def lidar_scan(traj: Trajectory, planes, t_begin: float, period: float,
         [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=-1
     )
     t_offs = frac * period
-    # Pose per point (chunked by unique offsets for speed)
-    pts_body = np.zeros((n, 3))
-    hit_all = np.zeros(n, bool)
-    for f in np.unique(t_offs):
-        m = t_offs == f
-        R, p = traj.pose(t_begin + f)
-        o = np.broadcast_to(p, (m.sum(), 3))
-        dirs = d_body[m] @ R.T
-        t, pi, hit = ray_hits(o, dirs, planes)
-        pw = o + dirs * t[:, None]
-        r = t + rng.normal(size=t.shape) * range_noise
-        pb = (d_body[m] * r[:, None])
-        pts_body[m] = pb
-        hit_all[m] = hit
-    return pts_body[hit_all].astype(np.float32), t_offs[hit_all].astype(np.float32)
+    if max_range is not None:
+        _, p0 = traj.pose(t_begin)
+        planes = cull_surfaces(planes, p0, max_range + 10.0)
+    # Per-point poses (one pose eval per unique offset), then ONE
+    # vectorized intersection over all rays x surfaces — the per-offset
+    # chunk loop was O(n_per_line * n_surfaces) numpy calls per scan,
+    # minutes per 600-frame world.
+    uniq, inv = np.unique(t_offs, return_inverse=True)
+    Rs = np.empty((len(uniq), 3, 3))
+    ps = np.empty((len(uniq), 3))
+    for i, f in enumerate(uniq):
+        Rs[i], ps[i] = traj.pose(t_begin + f)
+    origins = ps[inv]
+    dirs = np.einsum("nij,nj->ni", Rs[inv], d_body)
+    t, pi, hit = ray_hits(origins, dirs, planes)
+    if max_range is not None:
+        hit &= t <= max_range
+    r = t + rng.normal(size=t.shape) * range_noise
+    pts_body = d_body * r[:, None]
+    return pts_body[hit].astype(np.float32), t_offs[hit].astype(np.float32)
 
 
 def render_image(traj: Trajectory, planes, t: float, cam, exposure: float = 1.0,
@@ -318,6 +559,7 @@ def render_image(traj: Trajectory, planes, t: float, cam, exposure: float = 1.0,
     t_cw = -R_cw @ p_wi + P_ci
     R_wc = R_cw.T
     cam_origin = -R_wc @ t_cw
+    planes = cull_surfaces(planes, cam_origin, 160.0)
 
     # Per-pixel ray directions through the actual camera model (pinhole
     # incl. distortion, or equidistant fisheye) — so fisheye sequences
@@ -362,11 +604,16 @@ def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
                   cam=None, seed=0, n_lines=16, n_per_line=800,
                   still_time=0.6, planes=None, traj=None,
                   render=True, fov_deg=70.0, R_ci=None,
-                  P_ci=None, exposure_fn=None) -> SyntheticSequence:
+                  P_ci=None, exposure_fn=None,
+                  max_range=None, gyr_noise=1e-3, acc_noise=1e-2,
+                  bias_g=None, bias_a=None,
+                  range_noise=0.01) -> SyntheticSequence:
     """Build a full synthetic LIVO sequence. The first `still_time`
     seconds are stationary for IMU static initialization (the reference
     requires imu_int_frame frames of static data, IMU_Processing.cpp:104).
-    """
+    `bias_g`/`bias_a`: constant IMU biases (3,) — the minutes-scale
+    benchmarks set realistic ones so the 19-dim state's bias blocks are
+    actually exercised over the run."""
     rng = np.random.default_rng(seed)
     planes = default_room() if planes is None else planes
     traj = Trajectory() if traj is None else traj
@@ -396,7 +643,9 @@ def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
             return (p1 - p0) / (2 * eps)
 
     sh = _Shifted()
-    stamps, gyr, acc = imu_stream(sh, 0.0, duration, imu_hz, rng)
+    stamps, gyr, acc = imu_stream(sh, 0.0, duration, imu_hz, rng,
+                                  gyr_noise=gyr_noise, acc_noise=acc_noise,
+                                  bias_g=bias_g, bias_a=bias_a)
     # The reference scales raw acc by G/|mean_acc| — emit acc in m/s^2 so
     # mean_acc_norm ≈ G and the scaling is identity.
 
@@ -404,7 +653,8 @@ def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
     t = 0.05
     while t + 1.0 / lidar_hz < duration:
         pts, offs = lidar_scan(sh, planes, t, 1.0 / lidar_hz, n_lines,
-                               n_per_line, rng, fov_deg=fov_deg)
+                               n_per_line, rng, fov_deg=fov_deg,
+                               max_range=max_range, range_noise=range_noise)
         scans.append((t, pts, offs))
         t += 1.0 / lidar_hz
 

@@ -23,10 +23,11 @@ Use cases: trajectory smoothing after a run, loop-region polish, and
 multi-host map building from partitioned sequences.
 """
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import voxel_map as vm
 from ..core.lio import calc_body_cov
@@ -104,3 +105,70 @@ def refine_window(window: Window, map_cfg: vm.VoxelMapConfig,
         rot = so3.normalize_rotation(rot)
         window = window._replace(rot=rot, pos=pos)
     return window, n_used
+
+
+def _is_ready(arr) -> bool:
+    """True when a device array's computation has completed (async
+    dispatch future). Falls back to True where the runtime lacks
+    is_ready (then the consumer's np.asarray blocks, which is still
+    correct, just synchronous)."""
+    try:
+        return arr.is_ready()
+    except AttributeError:
+        return True
+
+
+class OnlineRefiner:
+    """Sliding-window refinement running BEHIND the causal front-end
+    (SURVEY §2.3 north star; the reference has no backend at all).
+
+    submit() dispatches the whole refine_window program chain
+    asynchronously — the device executes it in the idle gaps between
+    frame programs (single chip) or on its own mesh devices (sharded), and
+    the host never blocks on it. poll() hands back the refined poses
+    only once the device has actually finished them, so the front-end's
+    frame cadence is never stalled by the backend. The pipeline consumes
+    results double-buffered: refine window k while the filter runs
+    frames of window k+1, then feed the newest keyframe's pose delta
+    back (LIVOPipeline._consume_refine)."""
+
+    def __init__(self, map_cfg: vm.VoxelMapConfig, outer_iters: int = 2,
+                 gn_iters: int = 2, dept_err: float = 0.02,
+                 beam_err: float = 0.05, mesh=None):
+        self.map_cfg = map_cfg
+        self.outer_iters = outer_iters
+        self.gn_iters = gn_iters
+        self.dept_err = dept_err
+        self.beam_err = beam_err
+        self.mesh = mesh
+        self._pending: Optional[Tuple] = None  # (meta, refined Window)
+
+    @property
+    def busy(self) -> bool:
+        return self._pending is not None
+
+    def submit(self, window: Window, meta=None) -> bool:
+        """Dispatch one window refinement (non-blocking). Returns False
+        if a previous refinement is still in flight (drop, don't queue:
+        the next stride will cover these keyframes too)."""
+        if self._pending is not None and not _is_ready(self._pending[1].pos):
+            return False
+        refined, _ = refine_window(
+            window, self.map_cfg, outer_iters=self.outer_iters,
+            gn_iters=self.gn_iters, dept_err=self.dept_err,
+            beam_err=self.beam_err, mesh=self.mesh,
+        )
+        self._pending = (meta, refined)
+        return True
+
+    def poll(self, force: bool = False):
+        """(meta, rot (K,3,3) np, pos (K,3) np) once the refinement has
+        completed on device; None while still running (or idle).
+        force=True blocks for the result (end of stream)."""
+        if self._pending is None:
+            return None
+        meta, refined = self._pending
+        if not force and not _is_ready(refined.pos):
+            return None
+        self._pending = None
+        return meta, np.asarray(refined.rot), np.asarray(refined.pos)

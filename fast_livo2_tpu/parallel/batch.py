@@ -38,14 +38,22 @@ from ..utils.config import LIVOConfig
 
 
 class MultiStreamReplay:
-    """Replay B independent sequences interleaved on one chip."""
+    """Replay B independent sequences interleaved on one chip, or placed
+    across chips (`devices`): stream b's state commits to
+    devices[b % len(devices)], so its frame programs run there — the
+    fleet axis. One-chip and N-chip paths share this code."""
 
-    def __init__(self, cfg: LIVOConfig, batch: int, slam_mode: str = "livo"):
+    def __init__(self, cfg: LIVOConfig, batch: int, slam_mode: str = "livo",
+                 devices: Optional[List] = None):
         self.B = batch
         self.cfg = cfg
         self.slam_mode = slam_mode
+        self.devices = devices
         self.pipes: List[LIVOPipeline] = [
-            LIVOPipeline(cfg, slam_mode=slam_mode) for _ in range(batch)
+            LIVOPipeline(cfg, slam_mode=slam_mode,
+                         device=(devices[b % len(devices)]
+                                 if devices else None))
+            for b in range(batch)
         ]
         self.wall_s = 0.0  # steady-state drain wall time (after warm)
         self.n_frames = 0  # frames counted in wall_s

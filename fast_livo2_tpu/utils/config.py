@@ -87,6 +87,11 @@ class IMUParams:
     gyr_cov: float = 0.3
     b_acc_cov: float = 0.0001
     b_gyr_cov: float = 0.0001
+    # Estimation toggles (LIVMapper.cpp:85-86 -> ImuProcess::disable_*,
+    # IMU_Processing.cpp:56-72): freeze the gravity / accel+gyro-bias
+    # blocks of the filter when off.
+    gravity_est_en: bool = True
+    ba_bg_est_en: bool = True
 
 
 @dataclass
@@ -182,6 +187,8 @@ class TPUParams:
     vis_point_capacity: int = 65536  # visual point pool
     vis_obs_per_point: int = 8  # observation slots per visual point
     frame_ring: int = 64  # reference-frame ring buffer length
+    img_upload_ahead: int = 3  # queued camera frames resident on device
+    # ahead of their event (bounded-HBM h2d overlap window)
     max_tracked_points: int = 256  # per-frame visual submap pad size
     lio_rematch_fresh: bool = True  # True (default): full correspondence
     # re-search on the LIO rematch round, faithful to the reference
@@ -200,6 +207,13 @@ class TPUParams:
     # of the previous frame (the reference updates the map before
     # handleVIO, LIVMapper.cpp:430-448) — measured ATE-neutral on the
     # hard benchmark.
+    stage_timing: bool = False  # per-frame per-stage device timing: run
+    # the frame as separate blocking stage programs (propagate/undistort/
+    # downsample/LIO/map/VIO) and record each stage's ms in FrameLog —
+    # the reference's per-frame stage tables (LIVMapper.cpp:465-476,
+    # vio.cpp:1851-1868) from the production pipeline. Adds per-stage
+    # dispatch+sync overhead, so it is an observability mode, not the
+    # deployment fast path.
     fused_frame: bool = False  # one jit per frame (lowest dispatch) vs
     # two (LIO, VIO) — the fused program minimizes per-frame overhead but
     # its first compile is much longer; split is the safe default

@@ -160,3 +160,56 @@ def test_pipeline_refine_trajectory():
         i = np.clip(np.searchsorted(gt_t, t), 1, len(gt_t) - 1)
         errs.append(np.linalg.norm(p - gt_p[i]))
     assert np.mean(errs) < 0.1, np.mean(errs)
+
+
+def test_refine_distortion_sensitivity():
+    """VERDICT r2 item 8: quantify refinement quality with raw
+    (distorted) vs undistorted keyframe scans at the hard benchmark's
+    aggressive motion (~3.5 m/s -> intra-scan motion ~0.35 m >> the
+    0.15 m downsample leaf). The r3 default retains UNDISTORTED posterior
+    body scans (LIVOPipeline._kf_scan); it must be at least as accurate
+    as the old raw-packet stand-in (kf_use_raw=True)."""
+    from fast_livo2_tpu.core.pipeline import LIVOPipeline
+    from fast_livo2_tpu.io import synthetic
+    from tests.test_pipeline_lio import small_config
+
+    seq = synthetic.make_sequence(
+        duration=3.0, lidar_hz=10.0, imu_hz=200.0, seed=7, n_lines=12,
+        n_per_line=500, render=False, fov_deg=360.0,
+        planes=synthetic.hard_scene(), traj=synthetic.hard_trajectory())
+    gt_t = np.array([g[0] for g in seq.gt])
+    gt_p = np.array([g[2] for g in seq.gt])
+
+    def run(use_raw):
+        pipe = LIVOPipeline(small_config(), slam_mode="only_lio")
+        pipe.keyframe_every = 2
+        pipe.kf_use_raw = use_raw
+        pipe.process(seq)
+        refined = pipe.refine_trajectory(outer_iters=2, gn_iters=2)
+        errs = [
+            np.linalg.norm(
+                p - gt_p[np.clip(np.searchsorted(gt_t, t), 1,
+                                 len(gt_t) - 1)])
+            for t, _, p in refined
+        ]
+        return float(np.mean(errs))
+
+    err_und = run(False)
+    err_raw = run(True)
+    assert err_und <= err_raw * 1.05, (
+        f"undistorted keyframes {err_und:.4f} m vs raw {err_raw:.4f} m")
+
+
+def test_online_refiner_async_contract():
+    """OnlineRefiner: submit is non-blocking, poll returns None until
+    the device finishes, force-poll drains, a second submit while busy
+    is refused (drop-not-queue)."""
+    window, gt_rot, gt_pos = _make_window(K=4, N=800)
+    r = ba.OnlineRefiner(MAP_CFG, outer_iters=1, gn_iters=1)
+    assert r.submit(window, meta="w0")
+    out = r.poll(force=True)
+    assert out is not None and out[0] == "w0"
+    assert out[1].shape == (4, 3, 3) and out[2].shape == (4, 3)
+    assert r.poll() is None  # drained
+    assert r.submit(window, meta="w1")  # idle again accepts
+    r.poll(force=True)

@@ -154,3 +154,87 @@ def test_hilti_en_decimates_images(tmp_path, seq):
     dec = dataset.load_sequence(str(d), cfg=cfg)
     assert len(dec.images) == (len(base.images) + 3) // 4
     assert dec.images[0][0] == base.images[0][0]
+
+
+def test_imu_est_toggle_yaml_wiring(tmp_path):
+    """imu/gravity_est_en + imu/ba_bg_est_en + vio/exposure_estimate_en
+    (LIVMapper.cpp:85-86,64 -> ImuProcess::disable_*, :158-160) load from
+    the reference YAML schema and reach the ImuNoise gates."""
+    from fast_livo2_tpu.utils.config import load_config
+
+    y = tmp_path / "s.yaml"
+    y.write_text("imu:\n  gravity_est_en: false\n  ba_bg_est_en: false\n"
+                 "vio:\n  exposure_estimate_en: false\n")
+    cfg = load_config(str(y))
+    assert cfg.imu.gravity_est_en is False
+    assert cfg.imu.ba_bg_est_en is False
+    assert cfg.vio.exposure_estimate_en is False
+
+    pipe = LIVOPipeline(cfg, slam_mode="only_lio")
+    t = np.arange(200) / 200.0
+    pipe.push_imu(t, np.zeros((200, 3)),
+                  np.tile([0.0, 0.0, 9.81], (200, 1)))
+    assert pipe._init_imu(pipe._imu_buf(), 1.0)
+    assert float(pipe.noise.est_gravity) == 0.0
+    assert float(pipe.noise.est_bias) == 0.0
+    assert float(pipe.noise.est_exposure) == 0.0
+    # defaults stay on
+    pipe_on = LIVOPipeline(livo_config(), slam_mode="only_lio")
+    pipe_on.push_imu(t, np.zeros((200, 3)),
+                     np.tile([0.0, 0.0, 9.81], (200, 1)))
+    assert pipe_on._init_imu(pipe_on._imu_buf(), 1.0)
+    assert float(pipe_on.noise.est_bias) == 1.0
+
+
+def test_ba_bg_gravity_est_toggles_freeze_blocks(seq):
+    """Behavior: with ba_bg_est_en=false the bias blocks never move over
+    a full run (the F_x couplings are gated, IMU_Processing.cpp:386-390,
+    so no cross covariance forms and the update can't touch them); same
+    for gravity_est_en and the gravity block. With defaults on, both
+    move."""
+    def final_blocks(gravity_en, ba_bg_en):
+        cfg = livo_config()
+        cfg.imu.gravity_est_en = gravity_en
+        cfg.imu.ba_bg_est_en = ba_bg_en
+        cfg.evo.pose_output_en = True
+        pipe = LIVOPipeline(cfg, slam_mode="only_lio")
+        pipe.process(seq)
+        first = np.asarray(pipe.trace_pre[0][1])
+        last = np.asarray(pipe.packed)
+        d_bias = np.abs(last[15:21] - first[15:21]).max()
+        d_grav = np.abs(last[21:24] - first[21:24]).max()
+        return d_bias, d_grav
+
+    d_bias_off, d_grav_off = final_blocks(False, False)
+    assert d_bias_off < 1e-9, f"bias moved {d_bias_off} with est off"
+    assert d_grav_off < 1e-9, f"gravity moved {d_grav_off} with est off"
+    d_bias_on, d_grav_on = final_blocks(True, True)
+    assert d_bias_on > 1e-7 and d_grav_on > 1e-7
+
+
+def test_stage_timing_mode(seq):
+    """tpu.stage_timing: per-stage device-time columns (the reference's
+    per-frame stage tables, LIVMapper.cpp:465-476 / vio.cpp:1851-1868)
+    appear in FrameLog rows of a production run, and the staged frame
+    reproduces the normal path's trajectory (stage order = map insert
+    before VIO, i.e. the deferred_map_insert=False order)."""
+    base = livo_config()
+    base.tpu.deferred_map_insert = False
+    ref = LIVOPipeline(base, slam_mode="livo")
+    traj_ref = ref.process(seq)
+
+    cfg = livo_config()
+    cfg.tpu.deferred_map_insert = False
+    cfg.tpu.stage_timing = True
+    pipe = LIVOPipeline(cfg, slam_mode="livo")
+    traj = pipe.process(seq)
+
+    assert len(traj) == len(traj_ref)
+    for (t0, R0, p0), (t1, R1, p1) in zip(traj_ref, traj):
+        assert t0 == t1
+        np.testing.assert_allclose(p0, p1, atol=1e-4)
+    rows = [r for r in pipe.log.rows if "lio_ms" in r]
+    assert len(rows) >= len(traj) - 2
+    for k in ("propagate_ms", "undistort_ms", "downsample_ms", "lio_ms",
+              "map_ms", "vio_ms"):
+        assert k in rows[-1] and rows[-1][k] > 0.0

@@ -5,10 +5,13 @@ A planar room is the best case for a plane-matching LIO; these gates
 hold the engine to <= 0.03 m ATE (evo-convention aligned RMSE) on a
 scene built to discriminate.
 
-Measured on this suite's CPU config (2026-08, round 2): LIVO 0.007 m,
-ONLY_LIO 0.018 m — the clutter *helps* a correct implementation (more
-constraint directions than 6 axis-aligned walls) and VIO tightens LIO
-by ~2.5x, so regressions in either subsystem surface here first."""
+The gates (<= 0.03 m) are the contract; for current measured values see
+the failure messages here and `hard_ate_rmse_m` in the newest
+BENCH_r*.json (chip-measured every round) — quoting point measurements
+in prose drifted across docs in rounds 1-2, so this header no longer
+does. The clutter *helps* a correct implementation (more constraint
+directions than 6 axis-aligned walls), so regressions in either
+subsystem surface here first."""
 
 import numpy as np
 import pytest

@@ -184,3 +184,22 @@ def test_edge_feature_extraction():
     edges = np.where(extract_edge_features(pts, offs))[0]
     assert len(edges) >= 1 and all(abs(i - n // 2) < 4 for i in edges)
     assert extract_edge_features(pts[: n // 2], offs[: n // 2]).sum() == 0
+
+
+def test_pcd_ascii_rgb_roundtrip(tmp_path):
+    """ascii PCD rgb column (r2 advisor, low): the binary format's
+    float32 bit-pattern view is a denormal that "%.6f" flattens to 0 —
+    ascii mode must write the packed integer and read it back exactly."""
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-2, 2, (50, 3)).astype(np.float32)
+    cols = rng.integers(0, 256, (50, 3)).astype(np.uint8)
+    p = str(tmp_path / "a.pcd")
+    export.write_pcd(p, pts, colors=cols, binary=False)
+    rpts, rcols, _ = export.read_pcd(p)
+    np.testing.assert_allclose(rpts, pts, atol=1e-5)
+    assert (rcols == cols).all()
+    # binary path unchanged
+    pb = str(tmp_path / "b.pcd")
+    export.write_pcd(pb, pts, colors=cols, binary=True)
+    _, bcols, _ = export.read_pcd(pb)
+    assert (bcols == cols).all()

@@ -1,0 +1,153 @@
+"""Minutes-scale validation, CI scale (VERDICT r2 item 1 — the evidence
+gap: every prior accuracy number came from 2-10 s runs). These tests run
+the multi-room + 20 m near-degenerate-corridor world with an A->B->A
+revisit loop (fast_livo2_tpu.io.synthetic.long_indoor_*), ~600 frames
+over 60 s, and the production-capacity knobs the short suites never
+stress: the reference's 30-observation cap (vio.cpp:947-952), a frame
+ring that wraps several times, and map sliding at the outdoor operating
+point. bench.py runs the full-size versions on the real chip
+(BENCH_LONG) — these are the CI-tolerable gates.
+"""
+
+import numpy as np
+import pytest
+
+from fast_livo2_tpu.core.pipeline import LIVOPipeline
+from fast_livo2_tpu.io import synthetic
+from fast_livo2_tpu.models import camera as cam_mod
+from fast_livo2_tpu.utils.config import CameraConfig, LIVOConfig
+
+
+def lio_config():
+    cfg = LIVOConfig()
+    cfg.tpu.max_points_per_scan = 8192
+    cfg.tpu.max_points_down = 4096
+    cfg.tpu.hash_capacity_log2 = 16
+    cfg.lio.max_layer = 1
+    cfg.preprocess.filter_size_surf = 0.15
+    return cfg
+
+
+IMU_BIAS_G = np.array([0.002, -0.0015, 0.001])   # rad/s
+IMU_BIAS_A = np.array([0.05, -0.03, 0.08])       # m/s^2
+
+
+@pytest.fixture(scope="module")
+def corridor_seq():
+    """60 s / ~600 scans through A -> corridor -> B -> corridor -> A,
+    with realistic sensor noise AND constant IMU biases (the short
+    suites run bias-free streams; a minutes-scale run must exercise the
+    bias blocks of the 19-dim state)."""
+    wp = synthetic.long_indoor_waypoints(loops=1)
+    traj = synthetic.WaypointTrajectory(wp, duration=59.0)
+    seq = synthetic.make_sequence(
+        duration=60.0, lidar_hz=10.0, imu_hz=200.0, seed=2, n_lines=12,
+        n_per_line=500, render=False, fov_deg=360.0,
+        planes=synthetic.long_indoor_scene(), traj=traj, max_range=45.0,
+        gyr_noise=2e-3, acc_noise=2e-2, range_noise=0.02,
+        bias_g=IMU_BIAS_G, bias_a=IMU_BIAS_A)
+    seq.path_length = traj.length
+    return seq
+
+
+def _drift_stats(traj_est, seq):
+    est = [(t, p) for t, _, p in traj_est]
+    rmse = synthetic.ate_rmse(est, seq.gt)
+    # revisit consistency: the loop ends where it started — compare the
+    # estimated displacement between the first and last frames against
+    # ground truth (immune to the unobservable global alignment).
+    gt_t = np.array([g[0] for g in seq.gt])
+    gt_p = np.array([g[2] for g in seq.gt])
+    ep = np.array([p for _, p in est])
+    et = np.array([t for t, _ in est])
+
+    def gt_at(t):
+        i = np.clip(np.searchsorted(gt_t, t), 1, len(gt_t) - 1)
+        w = (t - gt_t[i - 1]) / max(gt_t[i] - gt_t[i - 1], 1e-9)
+        return gt_p[i - 1] * (1 - w) + gt_p[i] * w
+
+    rel_err = np.linalg.norm(
+        (ep[-1] - ep[1]) - (gt_at(et[-1]) - gt_at(et[1])))
+    return rmse, rel_err
+
+
+def test_long_corridor_revisit_only_lio(corridor_seq):
+    """Drift over the 118 m loop must stay <= 0.5% of distance (the
+    VERDICT gate), and the revisit must close: the estimated start-to-end
+    displacement error is the loop-closure residual of the causal
+    filter."""
+    pipe = LIVOPipeline(lio_config(), slam_mode="only_lio")
+    traj = pipe.process(corridor_seq)
+    assert len(traj) >= 550
+    rmse, rel_err = _drift_stats(traj, corridor_seq)
+    drift_pct = 100.0 * rmse / corridor_seq.path_length
+    assert drift_pct <= 0.5, (
+        f"drift {drift_pct:.3f}% of {corridor_seq.path_length:.0f} m "
+        f"(ATE {rmse:.3f} m)")
+    assert rel_err < 0.30, f"revisit closure error {rel_err:.3f} m"
+
+
+def test_online_refine_improves_long(corridor_seq):
+    """The online sliding-window backend (VERDICT r2 item 3): windows
+    spanning the revisit refine keyframe poses behind the filter and
+    feed deltas back. Gates: refinements actually completed during the
+    run, the refined keyframe trajectory is at least as accurate as the
+    filter's own poses at those keyframes, and the filter was not
+    degraded by the feedback."""
+    pure = LIVOPipeline(lio_config(), slam_mode="only_lio")
+    traj_pure = pure.process(corridor_seq)
+    rmse_pure, _ = _drift_stats(traj_pure, corridor_seq)
+
+    pipe = LIVOPipeline(lio_config(), slam_mode="only_lio")
+    pipe.enable_online_refine(keyframe_every=15, window=24, stride=6,
+                              outer_iters=2, gn_iters=2)
+    traj = pipe.process(corridor_seq)
+    rmse_fb, _ = _drift_stats(traj, corridor_seq)
+
+    assert len(pipe.refined_keyframes) >= pipe.refine_window_size, (
+        "no refinement completed during the run")
+    refined = pipe.refined_keyframe_trajectory()
+    kf_ts = set(t for t, _, _ in refined)
+    pure_kf = [(t, p) for t, _, p in traj_pure if t in kf_ts]
+    rmse_kf_pure = synthetic.ate_rmse(pure_kf, corridor_seq.gt)
+    rmse_kf_ref = synthetic.ate_rmse(
+        [(t, p) for t, _, p in refined], corridor_seq.gt)
+    # backend output IMPROVES on the filter at the same stamps (measured
+    # here: 0.0048 m refined vs 0.0064 m pure — the late windows span
+    # the A->B->A revisit, so the consensus map fuses both visits)
+    assert rmse_kf_ref <= rmse_kf_pure * 0.9, (rmse_kf_ref, rmse_kf_pure)
+    # feedback must not destabilize the filter
+    assert rmse_fb <= max(rmse_pure * 1.3, rmse_pure + 0.02), (
+        rmse_fb, rmse_pure)
+
+
+def test_long_livo_ring_wrap_obs_cap_30():
+    """LIVO at the reference's production capacities: obs cap 30
+    (vio.cpp:947-952), a 16-slot frame ring wrapped 6x, and a visual
+    pool small enough to churn. 20 s with images at 5 Hz."""
+    cam_cfg = CameraConfig(cam_model="Pinhole", cam_width=320,
+                           cam_height=256, scale=1.0, cam_fx=200.0,
+                           cam_fy=200.0, cam_cx=160.0, cam_cy=128.0)
+    cam = cam_mod.make_camera(cam_cfg)
+    wp = synthetic.long_indoor_waypoints(loops=1)[:12]  # A + corridor + B
+    traj = synthetic.WaypointTrajectory(wp, duration=19.0)
+    seq = synthetic.make_sequence(
+        duration=20.0, lidar_hz=10.0, img_hz=5.0, imu_hz=200.0, cam=cam,
+        seed=3, n_lines=12, n_per_line=500, render=True, fov_deg=360.0,
+        planes=synthetic.long_indoor_scene(), traj=traj, max_range=45.0)
+
+    cfg = lio_config()
+    cfg.camera = cam_cfg
+    cfg.extrin_calib.Rcl = list(synthetic.R_CI_FORWARD.reshape(-1))
+    cfg.extrin_calib.Pcl = [0.0, 0.0, 0.0]
+    cfg.tpu.vis_point_capacity = 8192
+    cfg.tpu.frame_ring = 16
+    cfg.tpu.vis_obs_per_point = 30  # the reference's cap
+    cfg.vio.patch_pyrimid_level = 3
+    pipe = LIVOPipeline(cfg, slam_mode="livo")
+    traj_est = pipe.process(seq)
+    assert pipe.frame_id > 6 * cfg.tpu.frame_ring  # ring wrapped >= 6x
+    rmse = synthetic.ate_rmse([(t, p) for t, _, p in traj_est], seq.gt)
+    assert rmse < 0.12, f"LIVO obs30 long ATE {rmse:.3f} m"
+    tracked = [r.get("n_tracked", 0) for r in pipe.log.rows[5:]]
+    assert np.mean(tracked) > 20

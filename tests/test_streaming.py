@@ -254,3 +254,84 @@ def test_imu_rate_trajectory_via_config(seq):
     assert len(pipe.imu_rate_trajectory) > 5 * len(traj)
     ts = np.array([t for t, _, _ in pipe.imu_rate_trajectory])
     assert (np.diff(ts) > 0).all()
+
+
+def test_checkpoint_with_prefetch_in_flight(tmp_path, seq):
+    """Checkpoint taken while the one-ahead packet prefetch holds the
+    next event's already-consumed scan points (r2 advisor, high): the
+    prefetch is persisted (checkpoint v3), so resume must reproduce the
+    uninterrupted trajectory exactly — previously those points were
+    silently dropped and the event ran IMU-only."""
+    from fast_livo2_tpu.io import checkpoint
+
+    ref = LIVOPipeline(small_config(), slam_mode="only_lio")
+    traj_ref = ref.process(seq)
+
+    a = LIVOPipeline(small_config(), slam_mode="only_lio")
+    for tb, pts, offs in seq.scans:
+        a.push_scan(tb, pts, offs)
+    a.push_imu(seq.imu_stamps, seq.imu_gyr, seq.imu_acc)
+    a.poll(max_frames=8)
+    assert a._prefetch is not None, "scenario requires an in-flight prefetch"
+    n_a = a.frame_id
+    ck = str(tmp_path / "pref.npz")
+    checkpoint.save(ck, a)
+
+    b = LIVOPipeline(small_config(), slam_mode="only_lio")
+    checkpoint.load(ck, b)
+    assert b._prefetch is not None
+    b.poll(flush=True)
+    b._finalize_host_views()
+    assert n_a + len(b.trajectory) == len(traj_ref)
+    for (t0, R0, p0), (t1, R1, p1) in zip(traj_ref[n_a:], b.trajectory):
+        assert t0 == t1
+        np.testing.assert_allclose(p0, p1, atol=1e-6)
+
+
+def test_imu_buffer_trimmed(seq):
+    """Consumed IMU samples are dropped as frames run (r2 advisor: the
+    buffer grew O(N) for the life of the pipeline with O(N^2) push cost;
+    the reference pops its imu deque as packets are consumed)."""
+    pipe = LIVOPipeline(small_config(), slam_mode="only_lio")
+    pipe.process(seq)
+    # 2.5 s at 200 Hz = ~500 pushed; only the post-last-event tail (+2
+    # interval-start samples) may remain.
+    assert len(pipe._imu_t) < 30
+    assert len(pipe._imu_gyr) == len(pipe._imu_t) == len(pipe._imu_acc)
+
+
+def test_push_image_rejected_in_lidar_only_modes(seq):
+    """push_image into 'only_lio'/'only_lo' is dropped and counted — it
+    must NOT flip the pipeline to image-driven events (slam_mode
+    contract: those modes cut at scan ends)."""
+    pipe = LIVOPipeline(small_config(), slam_mode="only_lio")
+    img = np.zeros((8, 8), np.uint8)
+    pipe.push_image(0.5, img)
+    pipe.push_image(0.6, img)
+    assert pipe.dropped_inputs["image_mode"] == 2
+    assert not pipe._use_images and not pipe._img_queue
+    for tb, pts, offs in seq.scans[:5]:
+        pipe.push_scan(tb, pts, offs)
+    pipe.push_imu(seq.imu_stamps, seq.imu_gyr, seq.imu_acc)
+    assert pipe.poll() > 0  # scan-end events still fire
+
+
+def test_images_queue_host_resident():
+    """Queued camera frames stay on the host beyond a bounded device
+    window (r2 advisor: shipping every image at push parks the whole
+    sequence in HBM)."""
+    from fast_livo2_tpu.models import camera as cam_mod
+    from fast_livo2_tpu.utils.config import CameraConfig
+
+    cfg = small_config()
+    cfg.camera = CameraConfig(cam_model="Pinhole", cam_width=64,
+                              cam_height=48, scale=1.0, cam_fx=40.0,
+                              cam_fy=40.0, cam_cx=32.0, cam_cy=24.0)
+    pipe = LIVOPipeline(cfg, slam_mode="livo")
+    img = np.zeros((48, 64), np.uint8)
+    for i in range(10):
+        pipe.push_image(0.1 * (i + 1), img)
+    assert len(pipe._img_queue) == 10
+    n_dev = sum(not isinstance(im, np.ndarray)
+                for _, im in pipe._img_queue)
+    assert 0 < n_dev <= cfg.tpu.img_upload_ahead
