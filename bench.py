@@ -36,6 +36,12 @@ def log(*a):
 
 def main():
     t0 = time.time()
+    import fast_livo2_tpu
+
+    # jax.config.update, NOT the env var — sitecustomize initializes JAX
+    # config first, after which JAX_COMPILATION_CACHE_DIR is a no-op
+    # (without this, every pipeline instance recompiles: ~47 s each).
+    fast_livo2_tpu.enable_compile_cache()
     from fast_livo2_tpu.core.pipeline import LIVOPipeline
     from fast_livo2_tpu.io import synthetic
     from fast_livo2_tpu.models import camera as cam_mod
@@ -73,6 +79,9 @@ def main():
     cfg.extrin_calib.Pcl = [0.0, 0.0, 0.0]
     cfg.preprocess.filter_size_surf = 0.15
     cfg.tpu.fused_frame = os.environ.get("BENCH_FUSED", "0") == "1"
+    # int16 wire measured throughput-neutral on this relay (RT-bound,
+    # not byte-bound): available for bandwidth-constrained links.
+    cfg.tpu.wire_q16 = os.environ.get("BENCH_WIREQ", "0") == "1"
     cfg.tpu.lio_rematch_fresh = os.environ.get("BENCH_REMATCH", "1") == "1"
     mode = os.environ.get("BENCH_MODE", "livo")  # bisection aid
     if os.environ.get("BENCH_LAYERS"):

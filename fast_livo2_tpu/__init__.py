@@ -27,3 +27,25 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str = "/tmp/jax_cache",
+                         min_compile_secs: float = 0.0) -> None:
+    """Turn on JAX's persistent compilation cache via jax.config.
+
+    Must be jax.config.update, not the env var: this environment's
+    sitecustomize initializes JAX config at interpreter start, after
+    which JAX_COMPILATION_CACHE_DIR is ignored (same failure mode as
+    JAX_PLATFORMS here). Measured impact: every LIVOPipeline instance
+    owns its own jax.jit wrappers, so WITHOUT the persistent cache each
+    instance recompiles the frame programs (~47 s on the TPU relay,
+    ~10 s on CPU) — with it, instance 2+ and later processes load in
+    ~0.03 s. Entry points (bench.py, tests/conftest.py,
+    __graft_entry__.py, scripts/) call this; library code never sets
+    global config silently.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)

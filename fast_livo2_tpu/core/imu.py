@@ -24,11 +24,17 @@ rules of :332-372) is inherently tiny host work and lives in
 `prepare_imu_batch` (numpy).
 """
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Covariance-scan backend: the Pallas kernel (ops/cov_scan.py) on TPU,
+# the associative-scan composition elsewhere (and under FLV_NO_PALLAS=1
+# for A/B measurement).
+_PALLAS_COV = os.environ.get("FLV_NO_PALLAS", "0") != "1"
 
 from ..ops import so3
 from ..ops.precision import hi_precision
@@ -136,8 +142,10 @@ def prepare_imu_batch(stamps: np.ndarray, gyr: np.ndarray, acc: np.ndarray,
         offs[k:] = offs[k - 1] + 1e6
     else:
         offs[:] = 1e6
-    return ImuBatch(gyr=jnp.asarray(g), acc=jnp.asarray(a), dt=jnp.asarray(dt),
-                    offs_end=jnp.asarray(offs), valid=jnp.asarray(valid))
+    # numpy fields (not device arrays): per-field jnp.asarray here cost 5
+    # separate h2d dispatches per packet on the remote link; callers
+    # assemble/upload in one shot (jit consumers take numpy seamlessly).
+    return ImuBatch(gyr=g, acc=a, dt=dt, offs_end=offs, valid=valid)
 
 
 @hi_precision
@@ -211,14 +219,25 @@ def propagate(state: NavState, cov: jnp.ndarray, batch: ImuBatch, noise: ImuNois
         jnp.diag(noise.cov_bias_acc)[None] * dt2[:, None, None]
     )
 
-    def compose(e1, e2):
-        A1, B1 = e1
-        A2, B2 = e2
-        return mm(A2, A1), mm(mm(A2, B1), jnp.swapaxes(A2, -1, -2)) + B2
+    if _PALLAS_COV and jax.default_backend() == "tpu":
+        # One Pallas launch instead of the associative-scan micro-kernel
+        # swarm (log K levels of slice/concat/batched-matmul): the
+        # recursion only needs the FINAL covariance. Measured device-
+        # time NEUTRAL on v5e-via-relay (see ops/cov_scan.py) — kept as
+        # the TPU default for launch-count robustness, FLV_NO_PALLAS=1
+        # selects the scan path.
+        from ..ops import cov_scan
 
-    A_all, B_all = jax.lax.associative_scan(compose, (F, Q))
-    A_T, B_T = A_all[-1], B_all[-1]
-    P_e = mm(mm(A_T, cov), A_T.T) + B_T
+        P_e = cov_scan.propagate_cov(F, Q, cov)
+    else:
+        def compose(e1, e2):
+            A1, B1 = e1
+            A2, B2 = e2
+            return mm(A2, A1), mm(mm(A2, B1), jnp.swapaxes(A2, -1, -2)) + B2
+
+        A_all, B_all = jax.lax.associative_scan(compose, (F, Q))
+        A_T, B_T = A_all[-1], B_all[-1]
+        P_e = mm(mm(A_T, cov), A_T.T) + B_T
 
     state_out = state._replace(rot=so3.normalize_rotation(R_end), pos=p_end,
                                vel=v_end)

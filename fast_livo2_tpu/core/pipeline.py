@@ -271,11 +271,12 @@ class LIVOPipeline:
                                    axis=-1)
 
         def _kf_scan_raw(pts_pack):
-            N = pts_pack.shape[0]
+            pts, _, valid = self._unpack_pts(pts_pack)
+            N = pts.shape[0]
             k = min(self.kf_points, N)
             idx = jnp.arange(k) * max(1, N // k)
             return jnp.concatenate(
-                [pts_pack[idx, 0:3], pts_pack[idx, 4:5]], axis=-1)
+                [pts[idx], valid[idx, None].astype(jnp.float32)], axis=-1)
 
         def _apply_delta(packed_sc, R_d, p_d):
             # Left (world-frame) SE(3) correction from the backend:
@@ -301,6 +302,7 @@ class LIVOPipeline:
         self._last_slide_pos = np.zeros(3)
         self._pos_snapshot = None  # async d2h pose copy for the next check
         self._stage_jits = None  # built lazily when tpu.stage_timing
+        self._empty_img = None  # cached no-image placeholder
 
     @property
     def state(self) -> NavState:
@@ -328,9 +330,7 @@ class LIVOPipeline:
         # the u8 wire format removes the pipeline's binding constraint.
         img = img.astype(jnp.float32)
         state, cov = unpack_state(packed_sc)
-        pts = pts_pack[:, 0:3]
-        t_offs = pts_pack[:, 3]
-        valid = pts_pack[:, 4] > 0.5
+        pts, t_offs, valid = self._unpack_pts(pts_pack)
 
         if self.slam_mode == "only_lo":
             dt = imu_pack  # scalar packet duration in this mode
@@ -437,6 +437,19 @@ class LIVOPipeline:
         ])
         return pack_state(vres.state, vres.cov), vres.pool, vres.ring, diag
 
+    def _unpack_pts(self, pts_pack):
+        """(pts (N, 3), t_offs (N,), valid (N,)) from either wire format
+        (tpu.wire_q16: int16 xyz at per-packet scale + uint16 offsets +
+        a valid count — 8 B/point on the transfer-bound remote link)."""
+        if self.cfg.tpu.wire_q16:
+            q, meta = pts_pack
+            pts = q[:, 0:3].astype(jnp.float32) * meta[0]
+            offs_u = q[:, 3].astype(jnp.int32) & 0xFFFF  # uint16 bitcast
+            t_offs = offs_u.astype(jnp.float32) * (meta[1] / 65535.0)
+            valid = jnp.arange(q.shape[0]) < meta[2].astype(jnp.int32)
+            return pts, t_offs, valid
+        return pts_pack[:, 0:3], pts_pack[:, 3], pts_pack[:, 4] > 0.5
+
     # ---------- per-stage timing mode (tpu.stage_timing) ----------
 
     def _build_stage_jits(self):
@@ -470,13 +483,14 @@ class LIVOPipeline:
                 pos=pose_tab[:, 11:14], vel=pose_tab[:, 14:17],
                 acc_w=pose_tab[:, 17:20], gyr_unbiased=pose_tab[:, 20:23],
                 valid=pose_tab[:, 23])
-            return imu_mod.undistort(pts_pack[:, 0:3], pts_pack[:, 3],
-                                     poses, state_prop, self.ext_R,
-                                     self.ext_T)
+            pts, t_offs, _ = self._unpack_pts(pts_pack)
+            return imu_mod.undistort(pts, t_offs, poses, state_prop,
+                                     self.ext_R, self.ext_T)
 
         def down(und_pts, pts_pack):
+            _, _, valid = self._unpack_pts(pts_pack)
             return lio_mod.voxel_downsample(
-                und_pts, pts_pack[:, 4] > 0.5,
+                und_pts, valid,
                 cfg.preprocess.filter_size_surf, cfg.tpu.max_points_down)
 
         def lio(packed_prop, vmap_state, down_pts, down_valid):
@@ -602,30 +616,58 @@ class LIVOPipeline:
             st, gy, ac = self._imu_slice(t0, t_end, seq)
             b = imu_mod.prepare_imu_batch(st, gy, ac, t0, t_end,
                                           cfg.max_imu_per_packet)
-            imu_pack = jnp.concatenate(
+            # assemble on host, ship in ONE h2d (was 6 device dispatches)
+            imu_pack = jnp.asarray(np.concatenate(
                 [b.gyr, b.acc, b.dt[:, None], b.offs_end[:, None],
-                 b.valid[:, None]], axis=-1,
-            )
+                 b.valid[:, None]], axis=-1, dtype=np.float32))
 
-        take_p, take_t, rest = [], [], []
-        for pts, t_abs in self.pending:
-            m = t_abs <= t_end
-            if m.any():
-                take_p.append(pts[m])
-                take_t.append(t_abs[m])
-            if (~m).any():
-                rest.append((pts[~m], t_abs[~m]))
-        self.pending = rest
+        # Chunks are time-sorted (push_scan sorts within a scan, the
+        # pending list is kept ordered by first timestamp), so one
+        # searchsorted splits the straddling chunk and the scan stops at
+        # the first fully-future chunk — O(points consumed) per frame.
+        # The old per-chunk masking re-copied EVERY future chunk every
+        # frame: O(total buffered points), measured ~28 ms/frame host
+        # time on the avia-scale bench.
+        take_p, take_t = [], []
+        consumed = 0
+        for ci, (pts, t_abs) in enumerate(self.pending):
+            if len(t_abs) and t_abs[0] > t_end:
+                break
+            if not len(t_abs) or t_abs[-1] <= t_end:
+                take_p.append(pts)
+                take_t.append(t_abs)
+                consumed += 1
+                continue
+            i = int(np.searchsorted(t_abs, t_end, side="right"))
+            take_p.append(pts[:i])
+            take_t.append(t_abs[:i])
+            self.pending[ci] = (pts[i:], t_abs[i:])
+            break
+        if consumed:
+            del self.pending[:consumed]
         n = cfg.max_points_per_scan
-        pack = np.zeros((n, 5), np.float32)
         if take_p:
             pts = np.concatenate(take_p)
             offs = np.concatenate(take_t) - t0
             k = min(len(pts), n)
-            pack[:k, 0:3] = pts[:k]
-            pack[:k, 3] = offs[:k]
-            pack[:k, 4] = 1.0
+        else:
+            pts = np.zeros((0, 3), np.float32)
+            offs = np.zeros((0,), np.float32)
+            k = 0
         self._packet_t0 = t_end
+        if cfg.wire_q16:
+            dur = max(float(t_end - t0), 1e-6)
+            scale = max(float(np.abs(pts[:k]).max()) if k else 0.0, 1e-3) / 32766.0
+            q = np.zeros((n, 4), np.int16)
+            q[:k, 0:3] = np.clip(np.round(pts[:k] / scale), -32766, 32766)
+            q[:k, 3] = np.clip(np.round(offs[:k] / dur * 65535.0),
+                               0, 65535).astype(np.uint16).view(np.int16)
+            meta = np.array([scale, dur, k, 0.0], np.float32)
+            return imu_pack, (jnp.asarray(q), jnp.asarray(meta))
+        pack = np.zeros((n, 5), np.float32)
+        pack[:k, 0:3] = pts[:k]
+        pack[:k, 3] = offs[:k]
+        pack[:k, 4] = 1.0
         return imu_pack, jnp.asarray(pack)
 
     # ---------- streaming ingestion (push/poll) ----------
@@ -673,6 +715,11 @@ class LIVOPipeline:
             keep = lidar_mod.extract_surf_features(
                 pts, offs, blind=self.cfg.preprocess.blind)
             pts, offs = pts[keep], offs[keep]
+        if len(offs) and np.any(np.diff(offs) < 0):
+            # time-sort within the scan (multi-line sweeps interleave
+            # offsets): _prepare_packet splits chunks by searchsorted.
+            order = np.argsort(offs, kind="stable")
+            pts, offs = pts[order], offs[order]
         self.pending.append((pts, t_begin + offs))
         t_end = t_begin + (offs[-1] if len(offs) else 0.0)
         self._scan_horizon = max(self._scan_horizon, t_end)
@@ -695,6 +742,8 @@ class LIVOPipeline:
         if self.slam_mode != "livo":
             self.dropped_inputs["image_mode"] += 1
             return
+        if not self._use_images:
+            self._empty_img = None  # placeholder shape flips with mode
         self._use_images = True
         if isinstance(img, np.ndarray) and img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
@@ -814,7 +863,10 @@ class LIVOPipeline:
         npz reader's equivalent): push every packet, then drain with
         flush semantics. Returns the TUM-style trajectory list
         [(t, R (3,3) np, p (3,) np), ...]."""
-        self._use_images = self.slam_mode == "livo" and len(seq.images) > 0
+        use_imgs = self.slam_mode == "livo" and len(seq.images) > 0
+        if use_imgs != self._use_images:
+            self._empty_img = None
+        self._use_images = use_imgs
         for t_begin, pts, offs in seq.scans:
             self.push_scan(t_begin, pts, offs)
         self.pending.sort(key=lambda x: x[1][0] if len(x[1]) else 1e18)
@@ -875,10 +927,14 @@ class LIVOPipeline:
             img_u8 = (img if img.dtype == np.uint8
                       else np.clip(img, 0, 255).astype(np.uint8))
             img_dev = jnp.asarray(img_u8)
-        elif self._use_images:
-            img_dev = jnp.zeros((self.cam.height, self.cam.width), jnp.uint8)
         else:
-            img_dev = jnp.zeros((1, 1), jnp.uint8)
+            # cached placeholder: a fresh jnp.zeros would be one device
+            # dispatch per frame on the remote link
+            if self._empty_img is None:
+                shape = ((self.cam.height, self.cam.width)
+                         if self._use_images else (1, 1))
+                self._empty_img = jnp.zeros(shape, jnp.uint8)
+            img_dev = self._empty_img
         fid = jnp.asarray(self.frame_id, jnp.int32)
         is_kf = (bool(self.keyframe_every) and not first
                  and self.frame_id % self.keyframe_every == 0)
@@ -887,6 +943,7 @@ class LIVOPipeline:
         defer_map = (self.cfg.tpu.deferred_map_insert and not first
                      and not staged and "map" not in _SKIP)
         stage_times = None
+        vdiag = None
         if staged:
             diag, pg_pack, stage_times = self._run_frame_staged(
                 imu_pack, pts_pack, img_dev, fid, use_vio)
@@ -903,7 +960,8 @@ class LIVOPipeline:
                 self.packed, self.pool, self.ring, self.vmap_state,
                 img_dev, pg_pack, fid,
             )
-            diag = diag.at[2:5].set(vdiag)
+            # vdiag merges into diag[2:5] host-side at finalize — an
+            # .at[].set here would be one extra device dispatch per frame
         else:
             emit_pg = self.pcd_accumulate or defer_map or is_kf
             out = self._frame_jit(
@@ -988,7 +1046,7 @@ class LIVOPipeline:
                     if self._submit_refine():
                         self._last_refine_k = k
         t_end = time.perf_counter()
-        self.log.add(
+        row = dict(
             t=t_ev, t_wall=t_end,
             lio_s=t_end - t_frame0, vio_s=0.0,
             host_ms=(t_disp - t_frame0) * 1e3,
@@ -996,6 +1054,9 @@ class LIVOPipeline:
             diag=diag,
             **(stage_times or {}),
         )
+        if vdiag is not None:
+            row["vdiag"] = vdiag
+        self.log.add(**row)
         if progress and self.frame_id % 10 == 0:
             print(f"[livo] frame {self.frame_id} t={t_ev:.2f} "
                   f"pos={np.asarray(self.packed[9:12]).round(3)}")
@@ -1017,14 +1078,23 @@ class LIVOPipeline:
                  if diag_rows else None)
         host = np.asarray(stacked)  # single d2h for poses
         host_diag = np.asarray(diags) if diags is not None else None
+        vd_rows = [r for r in diag_rows if "vdiag" in r]
+        host_vd = (np.asarray(jnp.stack([r["vdiag"] for r in vd_rows]))
+                   if vd_rows else None)
         for j, i in enumerate(new_idx):
             t = self.trajectory[i][0]
             self.trajectory[i] = (
                 t, host[j, 0:9].reshape(3, 3), host[j, 9:12]
             )
+        for j, r in enumerate(vd_rows):
+            r["_vd_host"] = host_vd[j]
         for j, r in enumerate(diag_rows):
             d = host_diag[j]
+            vd = r.pop("_vd_host", None)
+            if vd is not None:  # split-mode VIO half's diag columns
+                d = np.concatenate([d[0:2], vd, d[5:6]])
             r.pop("diag")
+            r.pop("vdiag", None)
             r.update(n_eff=int(d[0]), mean_res=float(d[1]),
                      n_tracked=int(d[2]), n_added=int(d[3]),
                      vio_err=float(d[4]))

@@ -56,7 +56,11 @@ def save(path: str, pipeline) -> None:
     if pipeline._prefetch is not None:
         _, (imu_pack, pts_pack) = pipeline._prefetch
         arrays["prefetch_imu"] = np.asarray(imu_pack)
-        arrays["prefetch_pts"] = np.asarray(pts_pack)
+        if isinstance(pts_pack, tuple):  # tpu.wire_q16 packet (q, meta)
+            arrays["prefetch_pts"] = np.asarray(pts_pack[0])
+            arrays["prefetch_pts_meta"] = np.asarray(pts_pack[1])
+        else:
+            arrays["prefetch_pts"] = np.asarray(pts_pack)
     # Streaming ingestion state (v2): undelivered scan points + IMU
     # buffer + queued scan events, so a mid-stream pipeline resumes
     # exactly (image queues hold device arrays and are intentionally
@@ -113,10 +117,12 @@ def load(path: str, pipeline) -> None:
     pipeline._packet_t0 = meta.get("packet_t0")
     pipeline._prefetch = None
     if meta.get("prefetch_t") is not None:
+        pts = jnp.asarray(data["prefetch_pts"])
+        if "prefetch_pts_meta" in data:
+            pts = (pts, jnp.asarray(data["prefetch_pts_meta"]))
         pipeline._prefetch = (
             meta["prefetch_t"],
-            (jnp.asarray(data["prefetch_imu"]),
-             jnp.asarray(data["prefetch_pts"])),
+            (jnp.asarray(data["prefetch_imu"]), pts),
         )
     if meta.get("version", 1) >= 2:
         pipeline._imu_t = data["stream_imu_t"]

@@ -207,6 +207,12 @@ class TPUParams:
     # of the previous frame (the reference updates the map before
     # handleVIO, LIVMapper.cpp:430-448) — measured ATE-neutral on the
     # hard benchmark.
+    wire_q16: bool = False  # ship the scan packet as int16 xyz (per-
+    # packet scale, <=2.5 mm quantization at 80 m range — below sensor
+    # noise) + uint16 time offsets + a valid count, dequantized to f32
+    # on device: 8 B/point vs 20 B. The remote-TPU link is transfer-
+    # bound in pipelined replay, so wire size is throughput. Off by
+    # default (bit-exact f32 wire); bench A/Bs it.
     stage_timing: bool = False  # per-frame per-stage device timing: run
     # the frame as separate blocking stage programs (propagate/undistort/
     # downsample/LIO/map/VIO) and record each stage's ms in FrameLog —

@@ -17,3 +17,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: pipelines are rebuilt per test, and each
+# instance's jit wrappers would recompile identical programs (~10 s per
+# program on CPU) without it. Must be jax.config.update, not the env var
+# (sitecustomize initializes JAX config first).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -238,3 +238,25 @@ def test_stage_timing_mode(seq):
     for k in ("propagate_ms", "undistort_ms", "downsample_ms", "lio_ms",
               "map_ms", "vio_ms"):
         assert k in rows[-1] and rows[-1][k] > 0.0
+
+
+def test_wire_q16_quantization_neutral(seq):
+    """tpu.wire_q16 (int16 point wire format, 8 B/pt vs 20 B on the
+    transfer-bound remote link): <=2.5 mm quantization must be
+    trajectory-neutral relative to sensor noise."""
+    base = livo_config()
+    ref = LIVOPipeline(base, slam_mode="only_lio")
+    traj_ref = ref.process(seq)
+
+    cfg = livo_config()
+    cfg.tpu.wire_q16 = True
+    pipe = LIVOPipeline(cfg, slam_mode="only_lio")
+    traj = pipe.process(seq)
+
+    assert len(traj) == len(traj_ref)
+    d = [np.linalg.norm(p0 - p1) for (_, _, p0), (_, _, p1)
+         in zip(traj_ref, traj)]
+    assert max(d) < 0.02, f"wire_q16 moved poses by up to {max(d):.4f} m"
+    rmse_ref = synthetic.ate_rmse([(t, p) for t, _, p in traj_ref], seq.gt)
+    rmse_q = synthetic.ate_rmse([(t, p) for t, _, p in traj], seq.gt)
+    assert rmse_q < rmse_ref + 0.005, (rmse_q, rmse_ref)

@@ -141,3 +141,37 @@ def test_undistort_pure_rotation():
     t_end = stamps[-1]
     expected = rotz(w_z * t_end).T @ rotz(w_z * t) @ p_body
     np.testing.assert_allclose(np.asarray(out[0]), expected, atol=2e-3)
+
+
+def test_pallas_cov_scan_matches_composed():
+    """ops/cov_scan.propagate_cov (the TPU kernel path, run here in
+    interpreter mode) must equal the associative-scan composition used
+    on CPU — same recursion P <- F P F^T + Q, different evaluation
+    order."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_livo2_tpu.ops import cov_scan
+
+    rng = np.random.default_rng(3)
+    K, D = 16, 19
+    F = jnp.asarray(
+        np.eye(D)[None] + rng.normal(size=(K, D, D)) * 0.02, jnp.float32)
+    Q = rng.normal(size=(K, D, D)) * 0.01
+    Q = jnp.asarray(np.einsum("kij,klj->kil", Q, Q), jnp.float32)
+    P0 = rng.normal(size=(D, D)) * 0.1
+    P0 = jnp.asarray(P0 @ P0.T + np.eye(D) * 0.01, jnp.float32)
+
+    got = cov_scan.propagate_cov(F, Q, P0, interpret=True)
+
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+    def compose(e1, e2):
+        A1, B1 = e1
+        A2, B2 = e2
+        return mm(A2, A1), mm(mm(A2, B1), jnp.swapaxes(A2, -1, -2)) + B2
+
+    A_all, B_all = jax.lax.associative_scan(compose, (F, Q))
+    want = mm(mm(A_all[-1], P0), A_all[-1].T) + B_all[-1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
