@@ -1099,6 +1099,29 @@ class LIVOPipeline:
                      n_tracked=int(d[2]), n_added=int(d[3]),
                      vio_err=float(d[4]))
 
+    def print_stage_table(self, last_n: Optional[int] = None) -> str:
+        """Render the per-frame stage table (the reference's ANSI box
+        tables, LIVMapper.cpp:465-476 / vio.cpp:1851-1868) from FrameLog
+        rows. Per-stage columns exist when tpu.stage_timing is on;
+        otherwise the host/device split rows still render. Returns the
+        string (and prints it)."""
+        from ..utils.timing import StageTable
+
+        tab = StageTable("LIVO per-frame stages")
+        keys = ("propagate_ms", "undistort_ms", "downsample_ms", "lio_ms",
+                "map_ms", "vio_ms", "host_ms", "dev_wait_ms")
+        for r in self.log.rows:
+            got = False
+            for k in keys:
+                if k in r:
+                    tab.mark(k.replace("_ms", ""), r[k] * 1e-3)
+                    got = True
+            if got:
+                tab.end_frame()
+        out = tab.render(last_n=last_n)
+        print(out)
+        return out
+
     def save_state_traces(self, pre_path: str, post_path: str):
         """Write pre/post-update state rows (t, euler deg, pos, vel, bg,
         ba, inv_expo) like Log/mat_pre.txt / mat_out.txt, batched into one

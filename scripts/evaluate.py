@@ -90,6 +90,45 @@ def ape(ref, est, align=True, prism_offset=None, max_dt=0.01):
     }
 
 
+def rpe(ref, est, delta: float = 1.0, max_dt=0.01):
+    """Translational Relative Pose Error at time-delta `delta` seconds
+    (the evo_rpe convention, translation part): for each associated pair
+    (i, i+Δ), error = || (T_ref_i^-1 T_ref_{i+Δ}) ⊖ (T_est_i^-1
+    T_est_{i+Δ}) ||_trans. Alignment-free — measures local drift, the
+    complement of the APE the reference's harness reports. Also returns
+    drift as %% of the ground-truth path length."""
+    ref_t = np.array([g[0] for g in ref])
+    est_t = np.array([e[0] for e in est])
+    pairs = associate(ref_t, est_t, max_dt)
+    if len(pairs) < 3:
+        raise ValueError(f"only {len(pairs)} associations")
+    ts = np.array([ref_t[i] for i, _ in pairs])
+    errs = []
+    for a in range(len(pairs)):
+        b = int(np.searchsorted(ts, ts[a] + delta))
+        if b >= len(pairs):
+            break
+        ia, ja = pairs[a]
+        ib, jb = pairs[b]
+        # relative translation expressed in the segment-start frame
+        d_ref = ref[ia][1].T @ (ref[ib][2] - ref[ia][2])
+        d_est = est[ja][1].T @ (est[jb][2] - est[ja][2])
+        errs.append(np.linalg.norm(d_ref - d_est))
+    errs = np.asarray(errs)
+    P_ref = np.array([ref[i][2] for i, _ in pairs])
+    path = float(np.sum(np.linalg.norm(np.diff(P_ref, axis=0), axis=1)))
+    ape_stats = ape(ref, est, align=True, max_dt=max_dt)
+    return {
+        "rpe_rmse": float(np.sqrt(np.mean(errs**2))) if len(errs) else 0.0,
+        "rpe_mean": float(errs.mean()) if len(errs) else 0.0,
+        "rpe_max": float(errs.max()) if len(errs) else 0.0,
+        "delta_s": float(delta),
+        "path_m": path,
+        "drift_pct": (100.0 * ape_stats["rmse"] / path) if path > 0 else 0.0,
+        "n": int(len(errs)),
+    }
+
+
 def main():
     from fast_livo2_tpu.io.export import read_tum
 
@@ -103,12 +142,17 @@ def main():
                          "evaluate_viral.py's T_B_prism)")
     ap.add_argument("--max-dt", type=float, default=0.01,
                     help="association window (evo default 0.01 s)")
+    ap.add_argument("--rpe", type=float, default=None, metavar="DELTA_S",
+                    help="also report translational RPE at this time "
+                         "delta + drift %% of path length")
     args = ap.parse_args()
-    stats = ape(read_tum(args.gt), read_tum(args.est),
-                align=not args.no_align,
+    gt, est = read_tum(args.gt), read_tum(args.est)
+    stats = ape(gt, est, align=not args.no_align,
                 prism_offset=args.prism_offset, max_dt=args.max_dt)
+    if args.rpe is not None:
+        stats.update(rpe(gt, est, delta=args.rpe, max_dt=args.max_dt))
     for k, v in stats.items():
-        print(f"{k:>8}: {v:.4f}" if isinstance(v, float) else f"{k:>8}: {v}")
+        print(f"{k:>10}: {v:.4f}" if isinstance(v, float) else f"{k:>10}: {v}")
 
 
 if __name__ == "__main__":

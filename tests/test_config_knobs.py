@@ -260,3 +260,16 @@ def test_wire_q16_quantization_neutral(seq):
     rmse_ref = synthetic.ate_rmse([(t, p) for t, _, p in traj_ref], seq.gt)
     rmse_q = synthetic.ate_rmse([(t, p) for t, _, p in traj], seq.gt)
     assert rmse_q < rmse_ref + 0.005, (rmse_q, rmse_ref)
+
+
+def test_print_stage_table_renders(seq):
+    """pipeline.print_stage_table: the reference's per-frame stage table
+    surface (LIVMapper.cpp:465-476) rendered from a production run's
+    FrameLog rows."""
+    cfg = livo_config()
+    cfg.tpu.stage_timing = True
+    pipe = LIVOPipeline(cfg, slam_mode="livo")
+    pipe.process(seq, max_frames=6)
+    out = pipe.print_stage_table(last_n=4)
+    for name in ("propagate", "lio", "map", "vio", "Total"):
+        assert name in out, out

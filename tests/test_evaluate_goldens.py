@@ -40,3 +40,29 @@ def test_published_table_reproduced(seq):
     # published numbers are rounded to 0.01 cm; allow 0.02 cm slack
     assert abs(rmse_cm - PUBLISHED[seq]) <= 0.02, (
         f"{seq}: harness {rmse_cm:.3f} cm vs published {PUBLISHED[seq]} cm")
+
+
+def test_rpe_known_error_scale():
+    """RPE harness sanity (r3 addition: evo_rpe-convention translational
+    RPE + drift %): a constant-velocity trajectory with positions scaled
+    by (1+eps) has relative translation error exactly eps*v*delta, and a
+    perfect estimate has RPE 0."""
+    from evaluate import rpe
+
+    v, eps, dur = 2.0, 0.03, 10.0
+    ts = np.arange(0.0, dur, 0.1)
+    I = np.eye(3)
+    ref = [(t, I, np.array([v * t, 0.0, 0.0])) for t in ts]
+    est_perfect = [(t, I, np.array([v * t, 0.0, 0.0])) for t in ts]
+    est_scaled = [(t, I, np.array([(1 + eps) * v * t, 0.0, 0.0]))
+                  for t in ts]
+
+    s0 = rpe(ref, est_perfect, delta=1.0)
+    assert s0["rpe_rmse"] < 1e-12
+    np.testing.assert_allclose(s0["path_m"], v * (dur - 0.1), rtol=1e-6)
+
+    s1 = rpe(ref, est_scaled, delta=1.0)
+    # segment length snaps to the stamp grid (1.0-1.1 s), so the error
+    # is eps*v*delta_actual in [0.060, 0.066]
+    assert eps * v * 1.0 - 1e-9 <= s1["rpe_rmse"] <= eps * v * 1.1 + 1e-9
+    assert s1["drift_pct"] > 0
