@@ -720,7 +720,18 @@ class LIVOPipeline:
             # offsets): _prepare_packet splits chunks by searchsorted.
             order = np.argsort(offs, kind="stable")
             pts, offs = pts[order], offs[order]
-        self.pending.append((pts, t_begin + offs))
+        chunk = (pts, t_begin + offs)
+        if (self.pending and len(chunk[1]) and len(self.pending[-1][1])
+                and chunk[1][0] < self.pending[-1][1][0]):
+            # out-of-order push: keep the pending list ordered by first
+            # timestamp (the packet splitter relies on it)
+            import bisect
+
+            keys = [c[1][0] if len(c[1]) else np.inf for c in self.pending]
+            self.pending.insert(bisect.bisect_right(keys, chunk[1][0]),
+                                chunk)
+        else:
+            self.pending.append(chunk)
         t_end = t_begin + (offs[-1] if len(offs) else 0.0)
         self._scan_horizon = max(self._scan_horizon, t_end)
         if not self._use_images:
