@@ -61,6 +61,26 @@ def save(path: str, pipeline) -> None:
             arrays["prefetch_pts_meta"] = np.asarray(pts_pack[1])
         else:
             arrays["prefetch_pts"] = np.asarray(pts_pack)
+    # v4: sliding-window backend state — collected keyframes (pose +
+    # undistorted body scan) and refined poses, so a resumed pipeline's
+    # online refinement continues with its history instead of restarting
+    # cold. A refinement in flight at save time is simply lost (it will
+    # be re-submitted at the next stride).
+    if pipeline._keyframes:
+        arrays["kf_t"] = np.array([k[0] for k in pipeline._keyframes])
+        arrays["kf_packed"] = np.stack(
+            [np.asarray(k[1]) for k in pipeline._keyframes])
+        arrays["kf_scan"] = np.stack(
+            [np.asarray(k[2]) for k in pipeline._keyframes])
+        meta["last_refine_k"] = int(pipeline._last_refine_k)
+    if pipeline.refined_keyframes:
+        rts = sorted(pipeline.refined_keyframes)
+        arrays["refined_t"] = np.array(rts)
+        arrays["refined_R"] = np.stack(
+            [pipeline.refined_keyframes[t][0] for t in rts])
+        arrays["refined_p"] = np.stack(
+            [pipeline.refined_keyframes[t][1] for t in rts])
+    meta["version"] = 4
     # Streaming ingestion state (v2): undelivered scan points + IMU
     # buffer + queued scan events, so a mid-stream pipeline resumes
     # exactly (image queues hold device arrays and are intentionally
@@ -133,3 +153,15 @@ def load(path: str, pipeline) -> None:
             (data[f"pend_pts_{i}"], data[f"pend_t_{i}"])
             for i in range(meta.get("n_pending", 0))
         ]
+    if "kf_t" in data:  # v4 backend state
+        pipeline._keyframes = [
+            (float(t), jnp.asarray(data["kf_packed"][i]),
+             jnp.asarray(data["kf_scan"][i]))
+            for i, t in enumerate(data["kf_t"])
+        ]
+        pipeline._last_refine_k = int(meta.get("last_refine_k", 0))
+    if "refined_t" in data:
+        pipeline.refined_keyframes = {
+            float(t): (data["refined_R"][i], data["refined_p"][i])
+            for i, t in enumerate(data["refined_t"])
+        }

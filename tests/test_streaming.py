@@ -335,3 +335,40 @@ def test_images_queue_host_resident():
     n_dev = sum(not isinstance(im, np.ndarray)
                 for _, im in pipe._img_queue)
     assert 0 < n_dev <= cfg.tpu.img_upload_ahead
+
+
+def test_checkpoint_preserves_backend_keyframes(tmp_path, seq):
+    """Checkpoint v4: the online backend's keyframes + refined poses
+    survive a resume, so refinement continues from history instead of
+    restarting cold."""
+    from fast_livo2_tpu.io import checkpoint
+
+    a = LIVOPipeline(small_config(), slam_mode="only_lio")
+    a.enable_online_refine(keyframe_every=2, window=4, stride=2,
+                           outer_iters=1, gn_iters=1)
+    for tb, pts, offs in seq.scans:
+        a.push_scan(tb, pts, offs)
+    a.push_imu(seq.imu_stamps, seq.imu_gyr, seq.imu_acc)
+    a.poll(max_frames=14)
+    a._consume_refine(force=True)
+    assert len(a._keyframes) >= 4
+    n_kf = len(a._keyframes)
+    n_ref = len(a.refined_keyframes)
+    assert n_ref >= 4
+    ck = str(tmp_path / "kf.npz")
+    checkpoint.save(ck, a)
+
+    b = LIVOPipeline(small_config(), slam_mode="only_lio")
+    b.enable_online_refine(keyframe_every=2, window=4, stride=2,
+                           outer_iters=1, gn_iters=1)
+    checkpoint.load(ck, b)
+    assert len(b._keyframes) == n_kf
+    assert len(b.refined_keyframes) == n_ref
+    assert b._last_refine_k == a._last_refine_k
+    for (t0, p0, s0), (t1, p1, s1) in zip(a._keyframes, b._keyframes):
+        assert t0 == t1
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+    # resumed pipeline keeps refining
+    b.poll(flush=True)
+    b._finalize_host_views()
+    assert len(b.refined_keyframes) >= n_ref
