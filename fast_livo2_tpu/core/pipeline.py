@@ -304,6 +304,13 @@ class LIVOPipeline:
         self._stage_jits = None  # built lazily when tpu.stage_timing
         self._empty_img = None  # cached no-image placeholder
 
+    def _put(self, x):
+        """Upload a host array to this pipeline's device (the fleet
+        axis pins state per stream; uncommitted jnp.asarray would land
+        on the default device and hop device-to-device every frame)."""
+        return (jax.device_put(x, self.device) if self.device is not None
+                else jnp.asarray(x))
+
     @property
     def state(self) -> NavState:
         return unpack_state(self.packed)[0]
@@ -611,40 +618,46 @@ class LIVOPipeline:
         t0 = (self._packet_t0 if self._packet_t0 is not None
               else self.last_update_time)
         if self.slam_mode == "only_lo":
-            imu_pack = jnp.asarray(np.float32(t_end - t0))
+            imu_pack = self._put(np.float32(t_end - t0))
         else:
             st, gy, ac = self._imu_slice(t0, t_end, seq)
             b = imu_mod.prepare_imu_batch(st, gy, ac, t0, t_end,
                                           cfg.max_imu_per_packet)
             # assemble on host, ship in ONE h2d (was 6 device dispatches)
-            imu_pack = jnp.asarray(np.concatenate(
+            imu_pack = self._put(np.concatenate(
                 [b.gyr, b.acc, b.dt[:, None], b.offs_end[:, None],
                  b.valid[:, None]], axis=-1, dtype=np.float32))
 
         # Chunks are time-sorted (push_scan sorts within a scan, the
         # pending list is kept ordered by first timestamp), so one
-        # searchsorted splits the straddling chunk and the scan stops at
+        # searchsorted splits each straddling chunk and the scan stops at
         # the first fully-future chunk — O(points consumed) per frame.
         # The old per-chunk masking re-copied EVERY future chunk every
         # frame: O(total buffered points), measured ~28 ms/frame host
-        # time on the avia-scale bench.
+        # time on the avia-scale bench. Multiple chunks may straddle
+        # t_end (overlapping sensors), so every chunk whose first point
+        # is <= t_end is visited, and the leftover heads re-merge sorted.
         take_p, take_t = [], []
-        consumed = 0
-        for ci, (pts, t_abs) in enumerate(self.pending):
+        leftovers = []
+        ci = 0
+        while ci < len(self.pending):
+            pts, t_abs = self.pending[ci]
             if len(t_abs) and t_abs[0] > t_end:
                 break
             if not len(t_abs) or t_abs[-1] <= t_end:
                 take_p.append(pts)
                 take_t.append(t_abs)
-                consumed += 1
-                continue
-            i = int(np.searchsorted(t_abs, t_end, side="right"))
-            take_p.append(pts[:i])
-            take_t.append(t_abs[:i])
-            self.pending[ci] = (pts[i:], t_abs[i:])
-            break
-        if consumed:
-            del self.pending[:consumed]
+            else:
+                i = int(np.searchsorted(t_abs, t_end, side="right"))
+                take_p.append(pts[:i])
+                take_t.append(t_abs[:i])
+                leftovers.append((pts[i:], t_abs[i:]))
+            ci += 1
+        if ci:
+            tail = leftovers + self.pending[ci:]
+            if len(leftovers) > 1 or (leftovers and self.pending[ci:]):
+                tail.sort(key=lambda c: c[1][0] if len(c[1]) else np.inf)
+            self.pending = tail
         n = cfg.max_points_per_scan
         if take_p:
             pts = np.concatenate(take_p)
@@ -663,12 +676,12 @@ class LIVOPipeline:
             q[:k, 3] = np.clip(np.round(offs[:k] / dur * 65535.0),
                                0, 65535).astype(np.uint16).view(np.int16)
             meta = np.array([scale, dur, k, 0.0], np.float32)
-            return imu_pack, (jnp.asarray(q), jnp.asarray(meta))
+            return imu_pack, (self._put(q), self._put(meta))
         pack = np.zeros((n, 5), np.float32)
         pack[:k, 0:3] = pts[:k]
         pack[:k, 3] = offs[:k]
         pack[:k, 4] = 1.0
-        return imu_pack, jnp.asarray(pack)
+        return imu_pack, self._put(pack)
 
     # ---------- streaming ingestion (push/poll) ----------
 
@@ -735,7 +748,14 @@ class LIVOPipeline:
         t_end = t_begin + (offs[-1] if len(offs) else 0.0)
         self._scan_horizon = max(self._scan_horizon, t_end)
         if not self._use_images:
-            self._scan_events.append(t_end)
+            # ordered insert for the same reason: a late scan must not
+            # enqueue a backwards event (the sync cursor is monotonic)
+            if self._scan_events and t_end < self._scan_events[-1]:
+                import bisect
+
+                bisect.insort(self._scan_events, t_end)
+            else:
+                self._scan_events.append(t_end)
 
     def push_image(self, t: float, img: np.ndarray):
         """Append one camera frame (img_cbk, LIVMapper.cpp:829-860).
@@ -769,7 +789,7 @@ class LIVOPipeline:
                            len(self._img_queue))):
             t_i, im = self._img_queue[i]
             if isinstance(im, np.ndarray):
-                self._img_queue[i] = (t_i, jnp.asarray(im))
+                self._img_queue[i] = (t_i, self._put(im))
 
     def _event_ready(self, t_ev: float, is_image: bool) -> bool:
         """sync_packages admission: IMU must extend past the cut time and
@@ -911,6 +931,16 @@ class LIVOPipeline:
             ]
             return False
 
+        if self.last_update_time is not None and t_ev <= self.last_update_time:
+            # A late-arriving sensor packet enqueued an event at/behind
+            # the sync cursor (the reference clears buffers on loop-back,
+            # LIVMapper.cpp:710-795; offline we drop and count — the
+            # cursor is monotonic, a backwards packet would corrupt the
+            # propagation span).
+            self.dropped_inputs["stale_event"] = (
+                self.dropped_inputs.get("stale_event", 0) + 1)
+            return False
+
         t_frame0 = time.perf_counter()
         if self.state_trace_en:
             self.trace_pre.append((t_ev, self.packed))
@@ -937,16 +967,17 @@ class LIVOPipeline:
         if use_vio:
             img_u8 = (img if img.dtype == np.uint8
                       else np.clip(img, 0, 255).astype(np.uint8))
-            img_dev = jnp.asarray(img_u8)
+            img_dev = (self._put(img_u8) if isinstance(img_u8, np.ndarray)
+                       else img_u8)
         else:
             # cached placeholder: a fresh jnp.zeros would be one device
             # dispatch per frame on the remote link
             if self._empty_img is None:
                 shape = ((self.cam.height, self.cam.width)
                          if self._use_images else (1, 1))
-                self._empty_img = jnp.zeros(shape, jnp.uint8)
+                self._empty_img = self._put(np.zeros(shape, np.uint8))
             img_dev = self._empty_img
-        fid = jnp.asarray(self.frame_id, jnp.int32)
+        fid = self._put(np.int32(self.frame_id))
         is_kf = (bool(self.keyframe_every) and not first
                  and self.frame_id % self.keyframe_every == 0)
         staged = (self.cfg.tpu.stage_timing and not first
@@ -1119,8 +1150,13 @@ class LIVOPipeline:
         from ..utils.timing import StageTable
 
         tab = StageTable("LIVO per-frame stages")
-        keys = ("propagate_ms", "undistort_ms", "downsample_ms", "lio_ms",
-                "map_ms", "vio_ms", "host_ms", "dev_wait_ms")
+        stage_keys = ("propagate_ms", "undistort_ms", "downsample_ms",
+                      "lio_ms", "map_ms", "vio_ms")
+        has_stages = any("lio_ms" in r for r in self.log.rows)
+        # host_ms already CONTAINS the blocking stage runs in
+        # stage_timing mode — summing both would double-count the frame,
+        # so the host/device split renders only when stages are absent.
+        keys = stage_keys if has_stages else ("host_ms", "dev_wait_ms")
         for r in self.log.rows:
             got = False
             for k in keys:

@@ -46,7 +46,7 @@ def save(path: str, pipeline) -> None:
                       else float(pipeline._packet_t0)),
         "prefetch_t": (None if pipeline._prefetch is None
                        else float(pipeline._prefetch[0])),
-        "version": 3,
+        "version": 4,
     }
     # v3: the one-ahead packet prefetch (pipeline._prefetch_next) has
     # already destructively consumed `pending` for the next event — a
@@ -80,7 +80,6 @@ def save(path: str, pipeline) -> None:
             [pipeline.refined_keyframes[t][0] for t in rts])
         arrays["refined_p"] = np.stack(
             [pipeline.refined_keyframes[t][1] for t in rts])
-    meta["version"] = 4
     # Streaming ingestion state (v2): undelivered scan points + IMU
     # buffer + queued scan events, so a mid-stream pipeline resumes
     # exactly (image queues hold device arrays and are intentionally

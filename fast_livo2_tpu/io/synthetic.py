@@ -548,7 +548,7 @@ def lidar_scan(traj: Trajectory, planes, t_begin: float, period: float,
 
 
 def render_image(traj: Trajectory, planes, t: float, cam, exposure: float = 1.0,
-                 R_ci=None, P_ci=None):
+                 R_ci=None, P_ci=None, cull_range=None):
     """Ray-traced grayscale image (H, W) float32 from the camera pose at
     time t (camera extrinsics R_ci/P_ci: x_cam = R_ci x_imu + P_ci)."""
     R_ci = np.eye(3) if R_ci is None else R_ci
@@ -559,7 +559,9 @@ def render_image(traj: Trajectory, planes, t: float, cam, exposure: float = 1.0,
     t_cw = -R_cw @ p_wi + P_ci
     R_wc = R_cw.T
     cam_origin = -R_wc @ t_cw
-    planes = cull_surfaces(planes, cam_origin, 160.0)
+    if cull_range is not None:  # generation-speed aid for big worlds;
+        # None (default) renders everything — the camera has no range
+        planes = cull_surfaces(planes, cam_origin, cull_range)
 
     # Per-pixel ray directions through the actual camera model (pinhole
     # incl. distortion, or equidistant fisheye) — so fisheye sequences
@@ -665,8 +667,13 @@ def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
         t = 0.1
         while t < duration:
             expo = exposure_fn(t) if exposure_fn is not None else 1.0
+            # camera culls far beyond the LiDAR range (it can see
+            # farther than the ranging sensor, but not unboundedly for
+            # generation cost); None = no culling
+            cr = None if max_range is None else max(4.0 * max_range, 160.0)
             images.append((t, render_image(sh, planes, t, cam, exposure=expo,
-                                           R_ci=R_ci_, P_ci=P_ci_)))
+                                           R_ci=R_ci_, P_ci=P_ci_,
+                                           cull_range=cr)))
             t += 1.0 / img_hz
 
     gt = []

@@ -142,6 +142,13 @@ class OnlineRefiner:
         self.beam_err = beam_err
         self.mesh = mesh
         self._pending: Optional[Tuple] = None  # (meta, refined Window)
+        # ONE dispatch per submit: eager refine_window would issue its
+        # whole GN chain op-by-op on the submitting frame's host thread
+        # (~1 ms per dispatch on the remote relay — the opposite of
+        # "never stalls the front-end").
+        self._refine_jit = jax.jit(lambda w: refine_window(
+            w, map_cfg, outer_iters=outer_iters, gn_iters=gn_iters,
+            dept_err=dept_err, beam_err=beam_err, mesh=mesh))
 
     @property
     def busy(self) -> bool:
@@ -153,11 +160,7 @@ class OnlineRefiner:
         the next stride will cover these keyframes too)."""
         if self._pending is not None and not _is_ready(self._pending[1].pos):
             return False
-        refined, _ = refine_window(
-            window, self.map_cfg, outer_iters=self.outer_iters,
-            gn_iters=self.gn_iters, dept_err=self.dept_err,
-            beam_err=self.beam_err, mesh=self.mesh,
-        )
+        refined, _ = self._refine_jit(window)
         self._pending = (meta, refined)
         return True
 

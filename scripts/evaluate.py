@@ -90,7 +90,7 @@ def ape(ref, est, align=True, prism_offset=None, max_dt=0.01):
     }
 
 
-def rpe(ref, est, delta: float = 1.0, max_dt=0.01):
+def rpe(ref, est, delta: float = 1.0, max_dt=0.01, ape_rmse=None):
     """Translational Relative Pose Error at time-delta `delta` seconds
     (the evo_rpe convention, translation part): for each associated pair
     (i, i+Δ), error = || (T_ref_i^-1 T_ref_{i+Δ}) ⊖ (T_est_i^-1
@@ -117,14 +117,15 @@ def rpe(ref, est, delta: float = 1.0, max_dt=0.01):
     errs = np.asarray(errs)
     P_ref = np.array([ref[i][2] for i, _ in pairs])
     path = float(np.sum(np.linalg.norm(np.diff(P_ref, axis=0), axis=1)))
-    ape_stats = ape(ref, est, align=True, max_dt=max_dt)
+    if ape_rmse is None:  # pass a precomputed APE to avoid recomputing
+        ape_rmse = ape(ref, est, align=True, max_dt=max_dt)["rmse"]
     return {
         "rpe_rmse": float(np.sqrt(np.mean(errs**2))) if len(errs) else 0.0,
         "rpe_mean": float(errs.mean()) if len(errs) else 0.0,
         "rpe_max": float(errs.max()) if len(errs) else 0.0,
         "delta_s": float(delta),
         "path_m": path,
-        "drift_pct": (100.0 * ape_stats["rmse"] / path) if path > 0 else 0.0,
+        "drift_pct": (100.0 * ape_rmse / path) if path > 0 else 0.0,
         "n": int(len(errs)),
     }
 
@@ -150,7 +151,9 @@ def main():
     stats = ape(gt, est, align=not args.no_align,
                 prism_offset=args.prism_offset, max_dt=args.max_dt)
     if args.rpe is not None:
-        stats.update(rpe(gt, est, delta=args.rpe, max_dt=args.max_dt))
+        stats.update(rpe(gt, est, delta=args.rpe, max_dt=args.max_dt,
+                         ape_rmse=stats["rmse"] if not args.no_align
+                         else None))
     for k, v in stats.items():
         print(f"{k:>10}: {v:.4f}" if isinstance(v, float) else f"{k:>10}: {v}")
 

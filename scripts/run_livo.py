@@ -135,7 +135,8 @@ def main(argv=None):
         est = [(t, R, p) for t, R, p in traj]
         stats = ape(seq.gt, est, align=True, max_dt=0.05)
         summary["ate_rmse_m"] = round(stats["rmse"], 4)
-        r = rpe(seq.gt, est, delta=1.0, max_dt=0.05)
+        r = rpe(seq.gt, est, delta=1.0, max_dt=0.05,
+                ape_rmse=stats["rmse"])
         summary["drift_pct"] = round(r["drift_pct"], 4)
         summary["rpe_1s_m"] = round(r["rpe_rmse"], 4)
     print(json.dumps(summary))

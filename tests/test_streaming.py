@@ -372,3 +372,46 @@ def test_checkpoint_preserves_backend_keyframes(tmp_path, seq):
     b.poll(flush=True)
     b._finalize_host_views()
     assert len(b.refined_keyframes) >= n_ref
+
+
+def test_late_scan_does_not_corrupt_cursor(seq):
+    """r3 review finding: a scan arriving AFTER later scans were already
+    processed must not fire a backwards event (the sync cursor is
+    monotonic — the reference clears buffers on loop-back). The late
+    event is dropped + counted and timestamps stay strictly increasing;
+    a late scan that is still AHEAD of the cursor is processed in
+    order."""
+    pipe = LIVOPipeline(small_config(), slam_mode="only_lio")
+    scans = list(seq.scans)
+    late = scans[4]
+    for i, (tb, pts, offs) in enumerate(scans[:9]):
+        if i != 4:
+            pipe.push_scan(tb, pts, offs)
+    pipe.push_imu(seq.imu_stamps, seq.imu_gyr, seq.imu_acc)
+    pipe.poll()
+    n_before = pipe.frame_id
+    assert n_before >= 4
+
+    pipe.push_scan(*late)  # now behind the cursor
+    pipe.poll()
+    assert pipe.dropped_inputs.get("stale_event", 0) == 1
+    # later scans still process, and timestamps stay monotonic
+    for tb, pts, offs in scans[9:12]:
+        pipe.push_scan(tb, pts, offs)
+    pipe.poll(flush=True)
+    pipe._finalize_host_views()
+    ts = [t for t, _, _ in pipe.trajectory]
+    assert all(t1 > t0 for t0, t1 in zip(ts, ts[1:]))
+
+    # not-yet-stale out-of-order push: events re-order, nothing dropped
+    p2 = LIVOPipeline(small_config(), slam_mode="only_lio")
+    p2.push_scan(*scans[0])
+    p2.push_scan(*scans[2])
+    p2.push_scan(*scans[1])  # late but ahead of the (unstarted) cursor
+    assert p2._scan_events == sorted(p2._scan_events)
+    p2.push_imu(seq.imu_stamps, seq.imu_gyr, seq.imu_acc)
+    p2.poll(flush=True)
+    p2._finalize_host_views()
+    ts2 = [t for t, _, _ in p2.trajectory]
+    assert all(t1 > t0 for t0, t1 in zip(ts2, ts2[1:]))
+    assert p2.dropped_inputs.get("stale_event", 0) == 0
