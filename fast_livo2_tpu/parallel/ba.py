@@ -156,9 +156,11 @@ class OnlineRefiner:
 
     def submit(self, window: Window, meta=None) -> bool:
         """Dispatch one window refinement (non-blocking). Returns False
-        if a previous refinement is still in flight (drop, don't queue:
-        the next stride will cover these keyframes too)."""
-        if self._pending is not None and not _is_ready(self._pending[1].pos):
+        while a previous refinement is pending — in flight OR completed
+        but not yet poll()ed (overwriting a completed result would lose
+        it; poll first). Dropped submissions are fine: the next stride
+        covers these keyframes too."""
+        if self._pending is not None:
             return False
         refined, _ = self._refine_jit(window)
         self._pending = (meta, refined)
