@@ -237,6 +237,10 @@ class LIVOPipeline:
         # Colored world-map accumulation (pcd_save, LIVMapper.cpp:484-532)
         self.pcd_accumulate = cfg.pcd_save.pcd_save_en
         self._cloud_chunks: List = []
+        # Effective (plane-matched) points per frame
+        # (publish/pub_effect_point_en -> publish_effect_world,
+        # LIVMapper.cpp:446); device-resident until effect_points().
+        self._effect_chunks: List = []
         # Keyframe collection for the sliding-window refinement backend
         # (parallel/ba.py): per keyframe the UNDISTORTED posterior body
         # scan (re-derived on device from the frame's posterior world
@@ -695,6 +699,13 @@ class LIVOPipeline:
         t = np.atleast_1d(np.asarray(stamps, np.float64))
         g = np.atleast_2d(np.asarray(gyr, np.float64))
         a = np.atleast_2d(np.asarray(acc, np.float64))
+        if (self.cfg.common.ros_driver_bug_fix and len(t)
+                and np.isfinite(self._scan_horizon)):
+            # Vendor-driver clock fix (common/ros_driver_bug_fix,
+            # imu_cbk LIVMapper.cpp:779-784): some drivers stamp the IMU
+            # a whole number of seconds off the LiDAR clock; round the
+            # offset away. No-op when the streams agree (|dt| < 0.5 s).
+            t = t + np.round(self._scan_horizon - t)
         ok = (np.isfinite(t) & np.isfinite(g).all(axis=-1)
               & np.isfinite(a).all(axis=-1))
         if len(self._imu_t):
@@ -1005,7 +1016,8 @@ class LIVOPipeline:
             # vdiag merges into diag[2:5] host-side at finalize — an
             # .at[].set here would be one extra device dispatch per frame
         else:
-            emit_pg = self.pcd_accumulate or defer_map or is_kf
+            emit_pg = (self.pcd_accumulate or defer_map or is_kf
+                       or self.cfg.publish.pub_effect_point_en)
             out = self._frame_jit(
                 self.packed, self.vmap_state, self.pool, self.ring,
                 imu_pack, pts_pack, img_dev, fid,
@@ -1022,6 +1034,9 @@ class LIVOPipeline:
             # map.
             self.vmap_state = self._map_jit(self.vmap_state, pg_pack)
         self.map_inited = True
+        if (self.cfg.publish.pub_effect_point_en and not first
+                and pg_pack is not None):
+            self._effect_chunks.append((t_ev, pg_pack))
         if self.pcd_accumulate and not first and pg_pack is not None:
             # Colored world-map accumulation (savePCD,
             # LIVMapper.cpp:484-532): the downsampled undistorted
@@ -1140,6 +1155,18 @@ class LIVOPipeline:
             r.update(n_eff=int(d[0]), mean_res=float(d[1]),
                      n_tracked=int(d[2]), n_added=int(d[3]),
                      vio_err=float(d[4]))
+
+    def effect_points(self):
+        """Per-frame effective points — the scan points that matched a
+        map plane in the final LIO iteration (publish/pub_effect_point_en
+        -> publish_effect_world, LIVMapper.cpp:446; the reference
+        publishes them for rviz). Returns [(t, pts_w (M, 3) np)]."""
+        out = []
+        for t, pg in self._effect_chunks:
+            a = np.asarray(pg)
+            m = (a[:, 12] > 0.5) & (np.abs(a[:, 3:6]).sum(axis=1) > 0)
+            out.append((t, a[m, 0:3]))
+        return out
 
     def print_stage_table(self, last_n: Optional[int] = None) -> str:
         """Render the per-frame stage table (the reference's ANSI box

@@ -273,3 +273,67 @@ def test_print_stage_table_renders(seq):
     out = pipe.print_stage_table(last_n=4)
     for name in ("propagate", "lio", "map", "vio", "Total"):
         assert name in out, out
+
+
+def test_ros_driver_bug_fix_realigns_imu(seq):
+    """common/ros_driver_bug_fix (imu_cbk, LIVMapper.cpp:779-784): IMU
+    stamped a whole number of seconds off the LiDAR clock is rounded
+    back into alignment when the knob is on; with it off the streams
+    never sync and no frame fires."""
+    def run(fix, shift):
+        # interleaved per-message pushes (the fix compares each incoming
+        # IMU stamp against the CURRENT lidar clock, exactly like the
+        # reference's callback — a whole-sequence bulk push would
+        # compare early samples against a far-future horizon)
+        cfg = livo_config()
+        cfg.common.ros_driver_bug_fix = fix
+        pipe = LIVOPipeline(cfg, slam_mode="only_lio")
+        ii = 0
+        for tb, pts, offs in seq.scans:
+            pipe.push_scan(tb, pts, offs)
+            t_end = tb + (offs[-1] if len(offs) else 0.0)
+            j = int(np.searchsorted(seq.imu_stamps, t_end + 0.05))
+            if j > ii:
+                pipe.push_imu(seq.imu_stamps[ii:j] + shift,
+                              seq.imu_gyr[ii:j], seq.imu_acc[ii:j])
+                ii = j
+        pipe.poll()
+        pipe._finalize_host_views()
+        return pipe
+
+    ref = run(False, 0.0)
+    broken = run(False, -97.0)
+    fixed = run(True, -97.0)
+    assert ref.frame_id > 10
+    assert broken.frame_id == 0  # IMU never covers any event
+    assert fixed.frame_id == ref.frame_id
+    for (t0, _, p0), (t1, _, p1) in zip(ref.trajectory, fixed.trajectory):
+        assert t0 == t1
+        np.testing.assert_allclose(p0, p1, atol=1e-6)
+
+
+def test_pub_effect_point_en_collects_matched_points(seq):
+    """publish/pub_effect_point_en (publish_effect_world,
+    LIVMapper.cpp:446): per-frame effective points are retained and
+    their count equals the filter's n_eff diagnostic."""
+    cfg = livo_config()
+    cfg.publish.pub_effect_point_en = True
+    pipe = LIVOPipeline(cfg, slam_mode="only_lio")
+    pipe.process(seq, max_frames=6)
+    ep = pipe.effect_points()
+    assert len(ep) >= 4
+    rows = {round(r["t"], 6): r for r in pipe.log.rows if "n_eff" in r}
+    checked = 0
+    for t, pts in ep:
+        r = rows.get(round(t, 6))
+        if r is None:
+            continue
+        assert len(pts) == r["n_eff"], (len(pts), r["n_eff"])
+        assert np.isfinite(pts).all()
+        checked += 1
+    assert checked >= 3
+
+    off = livo_config()
+    pipe2 = LIVOPipeline(off, slam_mode="only_lio")
+    pipe2.process(seq, max_frames=3)
+    assert pipe2.effect_points() == []
