@@ -666,7 +666,16 @@ class LIVOPipeline:
         if take_p:
             pts = np.concatenate(take_p)
             offs = np.concatenate(take_t) - t0
-            k = min(len(pts), n)
+            if len(pts) > n:
+                # Overflow: decimate EVENLY (1-in-ceil(N/n), the
+                # reference's point_filter_num style). Points are
+                # time-sorted since r3, so a head-truncate would keep
+                # only the sweep's first azimuth wedge — measured 10x
+                # worse drift on capped outdoor scans.
+                stride = -(-len(pts) // n)
+                pts = pts[::stride]
+                offs = offs[::stride]
+            k = len(pts)
         else:
             pts = np.zeros((0, 3), np.float32)
             offs = np.zeros((0,), np.float32)
