@@ -415,3 +415,27 @@ def test_late_scan_does_not_corrupt_cursor(seq):
     ts2 = [t for t, _, _ in p2.trajectory]
     assert all(t1 > t0 for t0, t1 in zip(ts2, ts2[1:]))
     assert p2.dropped_inputs.get("stale_event", 0) == 0
+
+
+def test_packet_overflow_decimates_evenly():
+    """Overflow regression gate (r3): packet points are time-sorted, so
+    head-truncating an oversized packet keeps only the sweep's first
+    azimuth wedge (measured 10x worse drift outdoors). The packet
+    builder must decimate EVENLY to exactly max_points_per_scan."""
+    cfg = small_config()  # max_points_per_scan = 8192
+    pipe = LIVOPipeline(cfg, slam_mode="only_lo")
+    n = 20000
+    offs = np.linspace(0.0, 0.1, n, endpoint=False).astype(np.float32)
+    az = offs / 0.1 * 2 * np.pi
+    pts = np.stack([5 * np.cos(az), 5 * np.sin(az),
+                    np.zeros_like(az)], axis=-1).astype(np.float32)
+    pipe.push_scan(0.0, pts, offs)
+    pipe.last_update_time = 0.0
+    _, pack = pipe._prepare_packet(0.1, pipe._imu_buf())
+    pack = np.asarray(pack)
+    cap = cfg.tpu.max_points_per_scan
+    assert pack[:, 4].sum() == cap  # budget fully used
+    t = pack[pack[:, 4] > 0.5, 3]
+    assert t.max() > 0.095  # spans the whole sweep, not a head wedge
+    hist, _ = np.histogram(t, bins=10, range=(0.0, 0.1))
+    assert hist.min() > 0.8 * cap / 10  # even coverage per time decile
