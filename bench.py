@@ -358,6 +358,9 @@ def main():
         dcfg.tpu.descend_compact = 16384
         dcfg.tpu.insert_compact = 8192
         dcfg.tpu.max_tracked_points = 512
+        # 2.6 MB/packet is past the link's RT-bound/byte-bound knee:
+        # the int16 wire is +8 % pipelined here (neutral at avia size).
+        dcfg.tpu.wire_q16 = True
         n_raw = int(np.median([len(p) for _, p, _ in dseq.scans]))
         pipeline_mod._BLOCK = True
         dpipe = LIVOPipeline(dcfg, slam_mode=mode)
