@@ -11,13 +11,22 @@ rate"; per-frame speed tables are printed but not archived). So
 vs_baseline = fps / 10.0 — >1 means faster than the real-time bar the
 reference sets.
 
-Prints exactly one JSON line on stdout.
+ARTIFACT DISCIPLINE (round-4): the result JSON line is (re-)printed to
+stdout after EVERY phase, each line a complete, monotonically enriched
+record. If the driver kills the run mid-phase, the last printed line is
+still a valid record of everything measured so far. Phases are
+individually fenced with try/except (one phase crashing costs only its
+own fields) and with a wall-clock budget check (BENCH_BUDGET_S env,
+default 900 s) that logs what it skips. Consumers should parse the LAST
+JSON line on stdout.
 """
 
+import hashlib
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -29,22 +38,91 @@ os.environ.setdefault("FLV_BLOCK", "1")
 # this machine) skip the multi-minute remote TPU compiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+T0 = time.time()
+# Driver wall-clock budget for the whole bench process. The r3 bench was
+# killed by the driver's timeout (rc=124) before printing its single
+# end-of-run JSON line; the fix is (a) incremental emission, (b) a
+# budget read from the environment, checked before each optional phase.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+
+RESULTS = {
+    "metric": "livo_frames_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "frames/s",
+    "vs_baseline": 0.0,
+    "phases_done": [],
+}
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def emit():
+    """(Re-)print the full result line. Each line is complete; parse the last."""
+    print(json.dumps(RESULTS), flush=True)
+
+
+def elapsed():
+    return time.time() - T0
+
+
+def run_phase(name, fn, est_cost_s):
+    """Run one bench phase with budget fencing + crash isolation."""
+    if elapsed() + est_cost_s > BUDGET_S:
+        log(f"[bench] skipping phase '{name}' ({elapsed():.0f}s elapsed + "
+            f"~{est_cost_s:.0f}s estimate > {BUDGET_S:.0f}s budget)")
+        RESULTS.setdefault("phases_skipped", []).append(name)
+        emit()
+        return
+    t = time.time()
+    try:
+        fn()
+        RESULTS["phases_done"].append(name)
+        log(f"[bench] phase '{name}' done in {time.time() - t:.0f}s "
+            f"({elapsed():.0f}s total)")
+    except Exception:
+        log(f"[bench] phase '{name}' FAILED:\n{traceback.format_exc()}")
+        RESULTS.setdefault("phases_failed", []).append(name)
+    emit()
+
+
+def seq_cache_dir(tag, **params):
+    """Cache dir keyed by generation parameters (stale-cache guard)."""
+    blob = json.dumps(params, sort_keys=True).encode()
+    h = hashlib.sha1(blob).hexdigest()[:10]
+    return f"/tmp/flv_bench_{tag}_{h}"
+
+
+def cached_sequence(tag, gen_fn, **params):
+    from fast_livo2_tpu.io import dataset as ds
+
+    cache = seq_cache_dir(tag, **params)
+    if os.path.exists(os.path.join(cache, "imu.npz")):
+        log(f"[bench] loading cached '{tag}' sequence ({cache})...")
+        return ds.load_sequence(cache)
+    log(f"[bench] generating '{tag}' sequence...")
+    t = time.time()
+    seq = gen_fn()
+    ds.save_sequence(cache, seq)
+    log(f"[bench] '{tag}' generated in {time.time() - t:.0f}s")
+    return seq
+
+
 def main():
-    t0 = time.time()
     import fast_livo2_tpu
 
     # jax.config.update, NOT the env var — sitecustomize initializes JAX
     # config first, after which JAX_COMPILATION_CACHE_DIR is a no-op
     # (without this, every pipeline instance recompiles: ~47 s each).
     fast_livo2_tpu.enable_compile_cache()
+    import jax
+
+    from fast_livo2_tpu.core import pipeline as pipeline_mod
     from fast_livo2_tpu.core.pipeline import LIVOPipeline
     from fast_livo2_tpu.io import synthetic
     from fast_livo2_tpu.models import camera as cam_mod
+    from fast_livo2_tpu.utils import config as cfg_mod
     from fast_livo2_tpu.utils.config import CameraConfig, LIVOConfig
 
     cam_cfg = CameraConfig(
@@ -56,21 +134,14 @@ def main():
     # hiccups; a short steady-state window swings the pipelined fps by
     # ±40%, a ~6 s measured span amortizes them.
     duration = float(os.environ.get("BENCH_DURATION", "10.0"))
-    cache = f"/tmp/flv_bench_seq_{duration:g}"
-
-    from fast_livo2_tpu.io import dataset as ds
-    if os.path.exists(os.path.join(cache, "imu.npz")):
-        log("[bench] loading cached synthetic sequence...")
-        seq = ds.load_sequence(cache)
-    else:
-        log("[bench] generating synthetic sequence...")
-        seq = synthetic.make_sequence(
+    seq = cached_sequence(
+        "seq",
+        lambda: synthetic.make_sequence(
             duration=duration, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
             cam=cam, seed=0, n_lines=24, n_per_line=1000, render=True,
-            fov_deg=360.0,
-        )
-        ds.save_sequence(cache, seq)
-    log(f"[bench] sequence ready in {time.time() - t0:.1f}s: "
+            fov_deg=360.0),
+        duration=duration, seed=0, n_lines=24, n_per_line=1000, v=2)
+    log(f"[bench] core sequence ready at {elapsed():.0f}s: "
         f"{len(seq.scans)} scans, {len(seq.images)} images")
 
     cfg = LIVOConfig()
@@ -86,64 +157,68 @@ def main():
     mode = os.environ.get("BENCH_MODE", "livo")  # bisection aid
     if os.environ.get("BENCH_LAYERS"):
         cfg.lio.max_layer = int(os.environ["BENCH_LAYERS"]) - 1
-    pipe = LIVOPipeline(cfg, slam_mode=mode)
 
-    t1 = time.time()
-    traj = pipe.process(seq, progress=False)  # ends with a device sync
-    total = time.time() - t1
-    rows = pipe.log.rows
-    n = len(rows)
-    warm = min(6, n // 3)
-    steady = rows[warm:]
-    per_frame = [r["lio_s"] + r["vio_s"] for r in steady]
-    # Median: the remote relay injects multi-ms spikes on ~10% of frames.
-    lat_ms = float(np.median(per_frame)) * 1e3 if per_frame else 0.0
+    # ---- Phase: core (blocked latency + ATE) -------------------------
+    def phase_core():
+        pipe = LIVOPipeline(cfg, slam_mode=mode)
+        t1 = time.time()
+        traj = pipe.process(seq, progress=False)  # ends with a device sync
+        total = time.time() - t1
+        rows = pipe.log.rows
+        n = len(rows)
+        steady = rows[min(6, n // 3):]
+        per_frame = [r["lio_s"] + r["vio_s"] for r in steady]
+        # Median: the relay injects multi-ms spikes on ~10% of frames.
+        lat_ms = float(np.median(per_frame)) * 1e3 if per_frame else 0.0
+        est = [(t, p) for t, R, p in traj]
+        rmse = synthetic.ate_rmse(est, seq.gt)
+        host_ms = float(np.median([r["host_ms"] for r in steady
+                                   if "host_ms" in r] or [0.0]))
+        dev_ms = float(np.median([r["dev_wait_ms"] for r in steady
+                                  if "dev_wait_ms" in r] or [0.0]))
+        RESULTS.update(
+            ate_rmse_m=round(rmse, 4), blocked_latency_ms=round(lat_ms, 1),
+            host_ms=round(host_ms, 1), device_ms=round(dev_ms, 1), frames=n)
+        if lat_ms > 0:
+            # Provisional headline from the blocked run (a conservative
+            # lower bound); the pipelined phase overwrites it.
+            RESULTS["value"] = round(1000.0 / lat_ms, 2)
+            RESULTS["vs_baseline"] = round(100.0 / lat_ms, 3)
+        log(f"[bench] core: {n} frames in {total:.1f}s (incl. compile), "
+            f"blocked {lat_ms:.1f} ms/frame, ATE {rmse:.4f} m")
 
-    est = [(t, p) for t, R, p in traj]
-    rmse = synthetic.ate_rmse(est, seq.gt)
-    # Host-vs-device split of the blocked frame (r3: quantify where the
-    # latency lives — host prep + dispatch vs device-completion wait).
-    host_ms = float(np.median([r["host_ms"] for r in steady
-                               if "host_ms" in r] or [0.0]))
-    dev_ms = float(np.median([r["dev_wait_ms"] for r in steady
-                              if "dev_wait_ms" in r] or [0.0]))
+    run_phase("core", phase_core, est_cost_s=60)
 
-    # Throughput run: frames dispatch asynchronously over donated device
-    # state (the deployment mode — the host pipeline runs ahead while the
-    # chip computes), one sync at the end. Compiles are warm from run 1
-    # (in-process jit cache is per-pipeline, but the persistent
-    # JAX_COMPILATION_CACHE_DIR makes retracing cheap), so we time from a
-    # few frames in to exclude trace/dispatch warmup.
-    from fast_livo2_tpu.core import pipeline as pipeline_mod
+    # ---- Phase: pipelined throughput (the headline fps) --------------
+    def phase_pipelined():
+        pipeline_mod._BLOCK = False
+        fps_runs = []
+        for _ in range(3):  # median-of-3: relay jitter swings single runs
+            pipe2 = LIVOPipeline(cfg, slam_mode=mode)
+            pipe2.process(seq, progress=False)
+            jax.block_until_ready(pipe2.packed)
+            t_sync = time.perf_counter()
+            rows2 = pipe2.log.rows
+            warm2 = min(4, len(rows2) // 3)
+            n_steady = len(rows2) - 1 - warm2
+            span = t_sync - rows2[warm2]["t_wall"]
+            fps_runs.append(
+                n_steady / span if n_steady > 0 and span > 0 else 0.0)
+        fps = float(np.median(fps_runs))
+        log(f"[bench] pipelined runs: {[round(f, 2) for f in fps_runs]}")
+        RESULTS.update(value=round(fps, 2), vs_baseline=round(fps / 10.0, 3))
 
-    pipeline_mod._BLOCK = False
-    import jax
+    run_phase("pipelined", phase_pipelined, est_cost_s=45)
 
-    fps_runs = []
-    for _ in range(3):  # median-of-3: relay jitter swings single short runs
-        pipe2 = LIVOPipeline(cfg, slam_mode=mode)
-        pipe2.process(seq, progress=False)
-        jax.block_until_ready(pipe2.packed)
-        t_sync = time.perf_counter()
-        rows2 = pipe2.log.rows
-        warm2 = min(4, len(rows2) // 3)
-        n_steady = len(rows2) - 1 - warm2
-        span = t_sync - rows2[warm2]["t_wall"]
-        fps_runs.append(n_steady / span if n_steady > 0 and span > 0 else 0.0)
-    fps = float(np.median(fps_runs))
-    log(f"[bench] pipelined runs: {[round(f, 2) for f in fps_runs]}")
-
-    extra = {}
-    if os.environ.get("BENCH_PACED", "1") == "1":
+    # ---- Phase: paced 10 Hz arrival latency --------------------------
+    def phase_paced():
         # Deployment-realistic online latency: frames arrive at the
         # sensor rate (10 Hz) instead of back-to-back, so the deferred
         # map insert and the one-ahead prefetch run in the inter-frame
         # idle — this is the pose latency a robot consuming the stream
         # would see (the reference's "real-time" operating point).
-        from fast_livo2_tpu.core import pipeline as pm
-
-        blk = pm._BLOCK
-        pm._BLOCK = False
+        blk = pipeline_mod._BLOCK
+        pipeline_mod._BLOCK = False
         pipe3 = LIVOPipeline(cfg, slam_mode=mode)
         for tb, pts, offs in seq.scans:
             pipe3.push_scan(tb, pts, offs)
@@ -152,8 +227,6 @@ def main():
         if mode == "livo":
             for t, im in seq.images:
                 pipe3.push_image(t, im)
-        import jax as _jax
-
         lats = []
         t_wall0 = None
         t_sim0 = None
@@ -173,37 +246,41 @@ def main():
                 continue
             jax.block_until_ready(pipe3.packed)
             lats.append(time.perf_counter() - t0p)
-        pm._BLOCK = blk
+        pipeline_mod._BLOCK = blk
         warm3 = min(6, len(lats) // 3)
         paced = float(np.median(lats[warm3:])) * 1e3 if lats else 0.0
-        extra["paced_latency_ms"] = round(paced, 1)
+        RESULTS["paced_latency_ms"] = round(paced, 1)
         log(f"[bench] paced (10 Hz arrival) pose latency: {paced:.1f} ms")
 
-    if os.environ.get("BENCH_HARD", "1") == "1":
+    if os.environ.get("BENCH_PACED", "1") == "1":
+        run_phase("paced", phase_paced, est_cost_s=20)
+
+    # ---- Phase: hard-scene accuracy ----------------------------------
+    def phase_hard():
         # Hard-benchmark accuracy (non-planar clutter + aggressive
         # motion + exposure ramp, tests/test_hard_scene.py's scene at
         # bench scale): the discriminating ATE the planar room can't
         # give. ~30 extra frames on the already-compiled programs.
-        hcache = "/tmp/flv_bench_hard_seq"
-        if os.path.exists(os.path.join(hcache, "imu.npz")):
-            hseq = ds.load_sequence(hcache)
-        else:
-            log("[bench] generating hard synthetic sequence...")
-            hseq = synthetic.make_sequence(
+        hseq = cached_sequence(
+            "hard",
+            lambda: synthetic.make_sequence(
                 duration=3.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
                 cam=cam, seed=7, n_lines=24, n_per_line=1000, render=True,
                 fov_deg=360.0, planes=synthetic.hard_scene(),
                 traj=synthetic.hard_trajectory(),
-                exposure_fn=lambda t: 1.0 + 0.25 * np.sin(0.8 * t),
-            )
-            ds.save_sequence(hcache, hseq)
+                exposure_fn=lambda t: 1.0 + 0.25 * np.sin(0.8 * t)),
+            duration=3.0, seed=7, n_lines=24, n_per_line=1000, v=2)
         hpipe = LIVOPipeline(cfg, slam_mode=mode)
         htraj = hpipe.process(hseq, progress=False)
         hrmse = synthetic.ate_rmse([(t, p) for t, _, p in htraj], hseq.gt)
-        extra["hard_ate_rmse_m"] = round(hrmse, 4)
+        RESULTS["hard_ate_rmse_m"] = round(hrmse, 4)
         log(f"[bench] hard-scene ATE {hrmse:.4f} m over {len(htraj)} frames")
 
-    if os.environ.get("BENCH_STAGES", "1") == "1":
+    if os.environ.get("BENCH_HARD", "1") == "1":
+        run_phase("hard", phase_hard, est_cost_s=30)
+
+    # ---- Phase: per-stage device-time table --------------------------
+    def phase_stages():
         # Per-stage device-time table from the production pipeline
         # (tpu.stage_timing; the reference's per-frame stage tables,
         # LIVMapper.cpp:465-476 / vio.cpp:1851-1868). ~30 frames on the
@@ -215,65 +292,63 @@ def main():
         spipe = LIVOPipeline(scfg, slam_mode=mode)
         spipe.process(seq, max_frames=32)
         srows = [r for r in spipe.log.rows if "lio_ms" in r]
-        if srows:
-            keys = ["propagate_ms", "undistort_ms", "downsample_ms",
-                    "lio_ms", "map_ms", "vio_ms"]
-            stages = {k: round(float(np.median(
-                [r[k] for r in srows[4:] if k in r] or [0.0])), 2)
-                for k in keys}
-            # Null-program baseline: each staged timing includes one
-            # dispatch + block_until_ready round trip on the remote
-            # relay; subtract this to read true device time per stage.
-            import jax as _jax
-            import jax.numpy as _jnp
+        if not srows:
+            return
+        keys = ["propagate_ms", "undistort_ms", "downsample_ms",
+                "lio_ms", "map_ms", "vio_ms"]
+        stages = {k: round(float(np.median(
+            [r[k] for r in srows[4:] if k in r] or [0.0])), 2)
+            for k in keys}
+        # Null-program baseline: each staged timing includes one
+        # dispatch + block_until_ready round trip on the remote
+        # relay; subtract this to read true device time per stage.
+        import jax.numpy as _jnp
 
-            nullf = _jax.jit(lambda x: x + 1.0)
-            z = _jnp.zeros(8)
-            _jax.block_until_ready(nullf(z))
-            nulls = []
-            for _ in range(12):
-                tn = time.perf_counter()
-                _jax.block_until_ready(nullf(z))
-                nulls.append((time.perf_counter() - tn) * 1e3)
-            stages["sync_overhead_ms"] = round(float(np.median(nulls)), 2)
-            extra["stages"] = stages
-            log(f"[bench] stage medians (ms): {stages}")
+        nullf = jax.jit(lambda x: x + 1.0)
+        z = _jnp.zeros(8)
+        jax.block_until_ready(nullf(z))
+        nulls = []
+        for _ in range(12):
+            tn = time.perf_counter()
+            jax.block_until_ready(nullf(z))
+            nulls.append((time.perf_counter() - tn) * 1e3)
+        sync = round(float(np.median(nulls)), 2)
+        stages["sync_overhead_ms"] = sync
+        # Relay-corrected per-stage medians (VERDICT r3 item 10): the
+        # raw numbers each include one relay round trip; the corrected
+        # table ranks stages by true device time.
+        stages["corrected"] = {
+            k: round(max(0.0, stages[k] - sync), 2) for k in keys}
+        RESULTS["stages"] = stages
+        log(f"[bench] stage medians (ms): {stages}")
 
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1800"))
-    if os.environ.get("BENCH_LONG", "1") == "1" and time.time() - t0 > budget_s * 0.55:
-        # Relay hiccups can stretch the early phases by many minutes;
-        # skip the long phases rather than losing the whole JSON line.
-        log(f"[bench] skipping long phases ({time.time() - t0:.0f}s elapsed "
-            f"> 55% of {budget_s:.0f}s budget)")
-        os.environ["BENCH_LONG"] = "0"
-    if os.environ.get("BENCH_LONG", "1") == "1":
+    if os.environ.get("BENCH_STAGES", "1") == "1":
+        run_phase("stages", phase_stages, est_cost_s=40)
+
+    # ---- Phase: long indoor (118 m revisit loop) ---------------------
+    lcam_cfg = CameraConfig(
+        cam_model="Pinhole", cam_width=320, cam_height=256, scale=1.0,
+        cam_fx=200.0, cam_fy=200.0, cam_cx=160.0, cam_cy=128.0)
+
+    def phase_long_indoor():
         # Minutes-scale validation (VERDICT r2 item 1): a 75 s multi-room
         # + 20 m near-degenerate corridor world with an A->B->A revisit
         # loop, LIVO with the reference's obs cap (30), gated on drift as
-        # a fraction of the 118 m path; plus a 45 s outdoor flight at the
-        # MARS_LVIG operating point (2 m voxels, map sliding engaged).
-        from fast_livo2_tpu.utils import config as cfg_mod
-
-        lcache = "/tmp/flv_bench_long_indoor"
-        lcam_cfg = CameraConfig(
-            cam_model="Pinhole", cam_width=320, cam_height=256, scale=1.0,
-            cam_fx=200.0, cam_fy=200.0, cam_cx=160.0, cam_cy=128.0)
+        # a fraction of the 118 m path.
         lcam = cam_mod.make_camera(lcam_cfg)
-        if os.path.exists(os.path.join(lcache, "imu.npz")):
-            lseq = ds.load_sequence(lcache)
-        else:
-            log("[bench] generating 75 s indoor long sequence...")
-            wp = synthetic.long_indoor_waypoints(loops=1)
-            ltraj = synthetic.WaypointTrajectory(wp, duration=74.0)
-            lseq = synthetic.make_sequence(
+        lseq = cached_sequence(
+            "long_indoor",
+            lambda: synthetic.make_sequence(
                 duration=75.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
                 cam=lcam, seed=31, n_lines=24, n_per_line=1000, render=True,
                 fov_deg=360.0, planes=synthetic.long_indoor_scene(),
-                traj=ltraj, max_range=45.0,
+                traj=synthetic.WaypointTrajectory(
+                    synthetic.long_indoor_waypoints(loops=1), duration=74.0),
+                max_range=45.0,
                 gyr_noise=2e-3, acc_noise=2e-2, range_noise=0.02,
                 bias_g=np.array([0.002, -0.0015, 0.001]),
-                bias_a=np.array([0.05, -0.03, 0.08]))
-            ds.save_sequence(lcache, lseq)
+                bias_a=np.array([0.05, -0.03, 0.08])),
+            duration=75.0, seed=31, n_lines=24, n_per_line=1000, v=2)
         lcfg = cfg_mod.LIVOConfig()
         lcfg.camera = lcam_cfg
         lcfg.extrin_calib.Rcl = list(synthetic.R_CI_FORWARD.reshape(-1))
@@ -284,32 +359,35 @@ def main():
         lt0 = time.time()
         ltraj_est = lpipe.process(lseq)
         lwall = time.time() - lt0
-        lrmse = synthetic.ate_rmse([(t, p) for t, _, p in ltraj_est], lseq.gt)
+        lrmse = synthetic.ate_rmse(
+            [(t, p) for t, _, p in ltraj_est], lseq.gt)
         path_m = synthetic.WaypointTrajectory(
             synthetic.long_indoor_waypoints(loops=1), duration=74.0).length
-        extra["long_frames"] = len(ltraj_est)
-        extra["long_ate_m"] = round(lrmse, 4)
-        extra["long_drift_pct"] = round(100.0 * lrmse / path_m, 4)
+        RESULTS.update(
+            long_frames=len(ltraj_est), long_ate_m=round(lrmse, 4),
+            long_drift_pct=round(100.0 * lrmse / path_m, 4))
         log(f"[bench] long indoor: {len(ltraj_est)} frames in {lwall:.0f}s, "
             f"ATE {lrmse:.4f} m over {path_m:.0f} m "
             f"({100 * lrmse / path_m:.3f}% drift)")
 
-        ocache = "/tmp/flv_bench_long_outdoor"
-        if os.path.exists(os.path.join(ocache, "imu.npz")):
-            oseq = ds.load_sequence(ocache)
-        else:
-            log("[bench] generating 45 s outdoor long sequence...")
-            owp = synthetic.long_outdoor_waypoints()
-            otraj = synthetic.WaypointTrajectory(owp, duration=44.0)
-            oseq = synthetic.make_sequence(
+    if os.environ.get("BENCH_LONG", "1") == "1":
+        run_phase("long_indoor", phase_long_indoor, est_cost_s=150)
+
+    # ---- Phase: long outdoor (MARS_LVIG operating point) -------------
+    def phase_long_outdoor():
+        oseq = cached_sequence(
+            "long_outdoor",
+            lambda: synthetic.make_sequence(
                 duration=45.0, lidar_hz=10.0, imu_hz=200.0, seed=32,
                 n_lines=24, n_per_line=1000, render=False, fov_deg=360.0,
-                planes=synthetic.long_outdoor_scene(), traj=otraj,
+                planes=synthetic.long_outdoor_scene(),
+                traj=synthetic.WaypointTrajectory(
+                    synthetic.long_outdoor_waypoints(), duration=44.0),
                 max_range=80.0,
                 gyr_noise=2e-3, acc_noise=2e-2, range_noise=0.03,
                 bias_g=np.array([0.002, -0.0015, 0.001]),
-                bias_a=np.array([0.05, -0.03, 0.08]))
-            ds.save_sequence(ocache, oseq)
+                bias_a=np.array([0.05, -0.03, 0.08])),
+            duration=45.0, seed=32, n_lines=24, n_per_line=1000, v=2)
         ocfg = cfg_mod.LIVOConfig()
         ocfg.lio.voxel_size = 2.0  # MARS_LVIG operating point
         ocfg.preprocess.filter_size_surf = 0.5
@@ -320,37 +398,38 @@ def main():
         ot0 = time.time()
         otraj_est = opipe.process(oseq)
         owall = time.time() - ot0
-        ormse = synthetic.ate_rmse([(t, p) for t, _, p in otraj_est], oseq.gt)
+        ormse = synthetic.ate_rmse(
+            [(t, p) for t, _, p in otraj_est], oseq.gt)
         opath = synthetic.WaypointTrajectory(
             synthetic.long_outdoor_waypoints(), duration=44.0).length
-        extra["outdoor_frames"] = len(otraj_est)
-        extra["outdoor_ate_m"] = round(ormse, 4)
-        extra["outdoor_drift_pct"] = round(100.0 * ormse / opath, 4)
+        RESULTS.update(
+            outdoor_frames=len(otraj_est), outdoor_ate_m=round(ormse, 4),
+            outdoor_drift_pct=round(100.0 * ormse / opath, 4))
         log(f"[bench] long outdoor: {len(otraj_est)} frames in {owall:.0f}s, "
             f"ATE {ormse:.4f} m over {opath:.0f} m "
             f"({100 * ormse / opath:.3f}% drift)")
 
-    if (os.environ.get("BENCH_DENSE", "1") == "1"
-            and time.time() - t0 < budget_s * 0.75):
-        # Density headroom (VERDICT r2 weak 1: at avia scale the chip is
-        # latency-bound, not compute-bound — quantify the headroom by
-        # 4x-ing the whole per-frame workload). 96k-point scans (4x),
-        # 0.075 m downsample leaf (4x the map/match working set), 512
-        # tracked patches (2x), same 10 Hz streams. If latency holds
-        # near the avia-scale number, the marginal cost of 4x work is
-        # the measured gap — that gap IS the quantified headroom.
+    if os.environ.get("BENCH_LONG", "1") == "1":
+        run_phase("long_outdoor", phase_long_outdoor, est_cost_s=90)
+
+    # ---- Phase: dense 4x workload (density headroom) -----------------
+    def phase_dense():
+        # Density headroom: at avia scale the chip is latency-bound, not
+        # compute-bound — quantify the headroom by 4x-ing the whole
+        # per-frame workload. 96k-point scans (4x), 0.075 m downsample
+        # leaf (4x the map/match working set), 512 tracked patches (2x),
+        # same 10 Hz streams. If latency holds near the avia-scale
+        # number, the marginal cost of 4x work is the measured gap —
+        # that gap IS the quantified headroom.
         import copy as _copy
 
-        dcache = "/tmp/flv_bench_dense_seq"
-        if os.path.exists(os.path.join(dcache, "imu.npz")):
-            dseq = ds.load_sequence(dcache)
-        else:
-            log("[bench] generating dense (4x) synthetic sequence...")
-            dseq = synthetic.make_sequence(
+        dseq = cached_sequence(
+            "dense",
+            lambda: synthetic.make_sequence(
                 duration=4.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
                 cam=cam, seed=5, n_lines=48, n_per_line=2000, render=True,
-                fov_deg=360.0)
-            ds.save_sequence(dcache, dseq)
+                fov_deg=360.0),
+            duration=4.0, seed=5, n_lines=48, n_per_line=2000, v=2)
         dcfg = _copy.deepcopy(cfg)
         dcfg.preprocess.filter_size_surf = 0.075
         dcfg.tpu.max_points_per_scan = 131072
@@ -358,10 +437,9 @@ def main():
         dcfg.tpu.descend_compact = 16384
         dcfg.tpu.insert_compact = 8192
         dcfg.tpu.max_tracked_points = 512
-        # 2.6 MB/packet is past the link's RT-bound/byte-bound knee:
-        # the int16 wire is +8 % pipelined here (neutral at avia size).
-        dcfg.tpu.wire_q16 = True
         n_raw = int(np.median([len(p) for _, p, _ in dseq.scans]))
+        # Blocked latency + ATE (wire format matched to the avia-scale
+        # baseline run so the 4x-work cost is isolated from the wire).
         pipeline_mod._BLOCK = True
         dpipe = LIVOPipeline(dcfg, slam_mode=mode)
         dtraj = dpipe.process(dseq, progress=False)
@@ -371,51 +449,68 @@ def main():
                                 for r in dsteady])) * 1e3 if dsteady else 0.0
         drmse = synthetic.ate_rmse([(t, p) for t, _, p in dtraj], dseq.gt)
         pipeline_mod._BLOCK = False
-        dpipe2 = LIVOPipeline(dcfg, slam_mode=mode)
-        dpipe2.process(dseq, progress=False)
-        jax.block_until_ready(dpipe2.packed)
-        t_sync = time.perf_counter()
-        drows2 = dpipe2.log.rows
-        dwarm = min(4, len(drows2) // 3)
-        dn = len(drows2) - 1 - dwarm
-        dspan = t_sync - drows2[dwarm]["t_wall"] if dn > 0 else 0.0
-        dfps = dn / dspan if dspan > 0 else 0.0
-        extra["dense_raw_points_per_scan"] = n_raw
-        extra["dense_blocked_ms"] = round(dlat, 1)
-        extra["dense_fps"] = round(dfps, 2)
-        extra["dense_ate_m"] = round(drmse, 4)
-        extra["dense_mpts_per_s"] = round(n_raw * dfps / 1e6, 2)
+
+        def dense_fps_runs(wire_q16, n_runs):
+            # median-of-N pipelined runs (ADVICE r3: a single 4 s run
+            # swings with relay jitter; medians only).
+            wcfg = _copy.deepcopy(dcfg)
+            wcfg.tpu.wire_q16 = wire_q16
+            runs = []
+            for _ in range(n_runs):
+                dp = LIVOPipeline(wcfg, slam_mode=mode)
+                dp.process(dseq, progress=False)
+                jax.block_until_ready(dp.packed)
+                t_sync = time.perf_counter()
+                dr = dp.log.rows
+                dw = min(4, len(dr) // 3)
+                dn = len(dr) - 1 - dw
+                dspan = t_sync - dr[dw]["t_wall"] if dn > 0 else 0.0
+                runs.append(dn / dspan if dspan > 0 else 0.0)
+            return runs
+
+        # Two wire formats measured separately (ADVICE r3: r3's +8%
+        # wire_q16 claim confounded 4x workload with wire format).
+        runs_f32 = dense_fps_runs(cfg.tpu.wire_q16, 3)
+        runs_q16 = dense_fps_runs(True, 3)
+        dfps_f32 = float(np.median(runs_f32))
+        dfps_q16 = float(np.median(runs_q16))
+        dfps = max(dfps_f32, dfps_q16)
+        RESULTS.update(
+            dense_raw_points_per_scan=n_raw,
+            dense_blocked_ms=round(dlat, 1),
+            dense_fps=round(dfps, 2),
+            dense_fps_f32=round(dfps_f32, 2),
+            dense_fps_q16=round(dfps_q16, 2),
+            dense_ate_m=round(drmse, 4),
+            dense_mpts_per_s=round(n_raw * dfps / 1e6, 2))
         log(f"[bench] dense 4x: {n_raw} pts/scan, blocked {dlat:.1f} ms "
-            f"(avia-scale: {lat_ms:.1f}), pipelined {dfps:.2f} fps "
+            f"(avia-scale: {RESULTS.get('blocked_latency_ms')}), pipelined "
+            f"f32 {runs_f32} / q16 {runs_q16} -> {dfps:.2f} fps "
             f"({n_raw * dfps / 1e6:.2f} Mpts/s), ATE {drmse:.4f} m")
 
-    bsz = int(os.environ.get("BENCH_BATCH", "0"))
-    if bsz > 1:
+    if os.environ.get("BENCH_DENSE", "1") == "1":
+        run_phase("dense", phase_dense, est_cost_s=120)
+
+    # ---- Phase: multi-stream batch (opt-in) --------------------------
+    def phase_batch():
+        bsz = int(os.environ.get("BENCH_BATCH", "0"))
         from fast_livo2_tpu.parallel.batch import MultiStreamReplay
 
         bp = MultiStreamReplay(cfg, batch=bsz, slam_mode=mode)
         bp.process([seq] * bsz)
         bfps = bp.n_frames / bp.wall_s if bp.wall_s > 0 else 0.0
-        extra["batched_fps_per_chip"] = round(bfps, 2)
-        extra["batch"] = bsz
+        RESULTS.update(batched_fps_per_chip=round(bfps, 2), batch=bsz)
         log(f"[bench] multi-stream B={bsz}: {bp.n_frames} frames in "
             f"{bp.wall_s:.1f}s -> {bfps:.1f} frames/s/chip aggregate")
-    log(f"[bench] {n} frames, total {total:.1f}s (incl. compile), "
-        f"blocked latency {lat_ms:.1f} ms/frame, pipelined {fps:.2f} "
-        f"frames/s, ATE {rmse:.3f} m")
 
-    print(json.dumps({
-        "metric": "livo_frames_per_sec_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 10.0, 3),
-        "ate_rmse_m": round(rmse, 4),
-        "blocked_latency_ms": round(lat_ms, 1),
-        "host_ms": round(host_ms, 1),
-        "device_ms": round(dev_ms, 1),
-        "frames": n,
-        **extra,
-    }))
+    if int(os.environ.get("BENCH_BATCH", "0")) > 1:
+        run_phase("batch", phase_batch, est_cost_s=60)
+
+    log(f"[bench] all phases finished at {elapsed():.0f}s: "
+        f"done={RESULTS['phases_done']} "
+        f"skipped={RESULTS.get('phases_skipped', [])} "
+        f"failed={RESULTS.get('phases_failed', [])}")
+    emit()
 
 
 if __name__ == "__main__":

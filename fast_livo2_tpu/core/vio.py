@@ -102,6 +102,10 @@ class VIOConfig(NamedTuple):
     ncc_thre: float = 0.0
     raycast_en: bool = False
     inverse_composition_en: bool = False
+    true_pyramid: bool = False  # sample anti-aliased box-average levels
+    # (ops/image.box_stack) instead of the reference's raw strided
+    # level-0 taps in the photometric update. A/B'd under sensor-
+    # realistic noise in tests/test_pyramid_ab.py.
     # map maintenance
     select_obs_gap_p: float = 0.5  # delta_p threshold (:939)
     select_obs_gap_theta: float = 0.3
@@ -519,19 +523,33 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
     G_keep = jnp.zeros((DIM_STATE, DIM_STATE), f32)
     final_err = jnp.asarray(0.0, f32)
 
+    if cfg.true_pyramid:
+        # search_level <= 2, so levels up to pyramid_levels-1+2 are
+        # reachable; one O(L*H*W) integral-image pass per frame.
+        img_stack = img_ops.box_stack(img, cfg.pyramid_levels + 2)
+    else:
+        img_stack = None
+
     for level in reversed(range(cfg.pyramid_levels)):
         scale = (1 << level) * (2 ** submap.search_level.astype(jnp.int32))
+        eff_lvl = level + submap.search_level.astype(jnp.int32)
         inv_scale = 1.0 / scale.astype(f32)
         ref = submap.ref_expo[:, None] * submap.warp_patch[:, level, :]
 
-        def iter_body(carry, scale=scale, inv_scale=inv_scale, ref=ref):
+        def iter_body(carry, scale=scale, inv_scale=inv_scale, ref=ref,
+                      eff_lvl=eff_lvl):
             it, state, old_state, last_error, stop, G_keep, final_err = carry
             Rcw, Pcw = camera_pose(state, Rci, Pci)
             Jdp_dt = Rcw  # Rci @ Rwi^T (:1544)
             pf = submap.pos @ Rcw.T + Pcw
             px = cam_mod.world2cam(cam, pf)
             ok = submap.valid & (pf[:, 2] > 1e-6)
-            val, du, dv = img_ops.sample_patches_with_grad(img, px, scale, ps)
+            if cfg.true_pyramid:
+                val, du, dv = img_ops.sample_patches_with_grad(
+                    img_stack, px, scale, ps, img_idx=eff_lvl)
+            else:
+                val, du, dv = img_ops.sample_patches_with_grad(
+                    img, px, scale, ps)
 
             tau = state.inv_expo
             Jimg = jnp.stack([du, dv], axis=-1) * (tau * inv_scale[:, None])[..., None]

@@ -121,6 +121,28 @@ def bilinear(img: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarray:
     return (1 - su) * (1 - sv) * tl + su * (1 - sv) * tr + (1 - su) * sv * bl + su * sv * br
 
 
+def box_stack(img: jnp.ndarray, n_levels: int) -> jnp.ndarray:
+    """(L, H, W) stack of aligned box means: level l pixel (y, x) is the
+    mean of img over [y, y+2^l) x [x, x+2^l). Because the strided
+    samplers above only tap coordinates that are multiples of the
+    per-point stride s = 2^l, gathering level l of this stack reproduces
+    bilinear interpolation on a vk::halfSample image pyramid EXACTLY
+    (pyramid pixel k = aligned 2^l-block mean = stack[l, k*s, k*s]).
+
+    This is the anti-aliased "true pyramid" option A/B'd against the
+    reference-faithful raw strided sampling (the reference's updateState
+    walks the LEVEL-0 image with scale-strided pointers,
+    vio.cpp:1596-1627; its createImgPyramid (frame.cpp:54-63) is present
+    but never called — no code reads img_pyr_). Built with integral
+    images: O(L*H*W), no gathers.
+    """
+    lvls = [img]
+    for l in range(1, n_levels):
+        s_ = 1 << l
+        lvls.append(_box_sum(img, 0, s_ - 1) / float(s_ * s_))
+    return jnp.stack(lvls)
+
+
 def _box_sum(a: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
     """S[y, x] = sum of a over the window [y+lo, y+hi] x [x+lo, x+hi]
     (inclusive), with clamped (edge-replicated) out-of-range taps — via

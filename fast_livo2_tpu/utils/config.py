@@ -213,6 +213,10 @@ class TPUParams:
     # on device: 8 B/point vs 20 B. The remote-TPU link is transfer-
     # bound in pipelined replay, so wire size is throughput. Off by
     # default (bit-exact f32 wire); bench A/Bs it.
+    true_pyramid: bool = False  # photometric update samples anti-
+    # aliased box-average pyramid levels instead of raw strided level-0
+    # taps (the reference's behavior). See ops/image.box_stack and the
+    # measured A/B in tests/test_pyramid_ab.py.
     stage_timing: bool = False  # per-frame per-stage device timing: run
     # the frame as separate blocking stage programs (propagate/undistort/
     # downsample/LIO/map/VIO) and record each stage's ms in FrameLog —

@@ -185,3 +185,27 @@ def test_livo_inverse_composition_variant():
     assert rmse < 0.08, f"IC ATE {rmse:.3f}"
     tracked = [r.get("n_tracked", 0) for r in pipe.log.rows[3:]]
     assert np.mean(tracked) > 20
+
+
+def test_deferred_insert_parity(livo_seq):
+    """tpu.deferred_map_insert=True (default) queues the voxel-map insert
+    AFTER the same frame's VIO dispatch, so VIO normal-refinement reads
+    the previous frame's map — a deviation from the reference's
+    handleLIO-then-handleVIO order (LIVMapper.cpp:336-482). This pins the
+    deviation as trajectory-neutral (VERDICT r3 item 8)."""
+    trajs = {}
+    for deferred in (True, False):
+        cfg = livo_config()
+        cfg.tpu.deferred_map_insert = deferred
+        pipe = LIVOPipeline(cfg, slam_mode="livo")
+        traj = pipe.process(livo_seq, progress=False)
+        trajs[deferred] = traj
+        rmse = synthetic.ate_rmse([(t, p) for t, _, p in traj], livo_seq.gt)
+        assert rmse < 0.06, f"deferred={deferred}: ATE {rmse:.3f} m"
+    a, b = trajs[True], trajs[False]
+    assert len(a) == len(b)
+    # same frames, near-identical poses: the one-frame-stale map read
+    # only affects VIO reference-normal refinement, not the LIO matches
+    gap = max(np.linalg.norm(pa - pb)
+              for (_, _, pa), (_, _, pb) in zip(a, b))
+    assert gap < 0.02, f"deferred insert changes trajectory by {gap:.4f} m"
