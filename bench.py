@@ -408,6 +408,21 @@ def main():
         log(f"[bench] long outdoor: {len(otraj_est)} frames in {owall:.0f}s, "
             f"ATE {ormse:.4f} m over {opath:.0f} m "
             f"({100 * ormse / opath:.3f}% drift)")
+        # accurate-voxel variant (r4 diagnosis: outdoor error is plane-
+        # fit quality at 2 m voxels — 1 m voxels cut ATE ~12x in CI)
+        vcfg_1 = cfg_mod.LIVOConfig()
+        vcfg_1.lio.voxel_size = 1.0
+        vcfg_1.preprocess.filter_size_surf = 0.5
+        vcfg_1.local_map.map_sliding_en = True
+        vcfg_1.local_map.half_map_size = 50
+        vcfg_1.local_map.sliding_thresh = 8.0
+        vpipe = LIVOPipeline(vcfg_1, slam_mode="only_lio")
+        vtraj = vpipe.process(oseq)
+        vrmse = synthetic.ate_rmse([(t, p) for t, _, p in vtraj], oseq.gt)
+        RESULTS.update(outdoor_v1_ate_m=round(vrmse, 4),
+                       outdoor_v1_drift_pct=round(100.0 * vrmse / opath, 4))
+        log(f"[bench] long outdoor @1m voxel: ATE {vrmse:.4f} m "
+            f"({100 * vrmse / opath:.3f}% drift)")
 
     if os.environ.get("BENCH_LONG", "1") == "1":
         run_phase("long_outdoor", phase_long_outdoor, est_cost_s=90)

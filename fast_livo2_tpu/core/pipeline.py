@@ -262,6 +262,8 @@ class LIVOPipeline:
         self._refiner = None
         self._last_refine_k = 0
         self.refined_keyframes = {}  # t -> (R, p), newest refinement wins
+        self._imu_hist: List = []  # (stamps, gyr, acc) for link preint
+        self.refine_imu_links = True  # preintegrated IMU link factors
         self._refine_deltas: List = []  # (t_applied, R_d, p_d) feedback log
 
         def _kf_scan(packed_sc, pg_pack):
@@ -726,6 +728,11 @@ class LIVOPipeline:
         self._imu_t = np.concatenate([self._imu_t, t])
         self._imu_gyr = np.concatenate([self._imu_gyr, g])
         self._imu_acc = np.concatenate([self._imu_acc, a])
+        if self.keyframe_every:
+            # Host-side history for backend IMU-link preintegration
+            # (survives _trim_imu; trimmed to the keyframe horizon at
+            # submit time). ~28 B/sample at 200 Hz — negligible.
+            self._imu_hist.append((t, g, a))
 
     def push_scan(self, t_begin: float, pts: np.ndarray, offs: np.ndarray):
         """Append one decoded scan (livox/standard_pcl_cbk -> Preprocess,
@@ -1104,6 +1111,10 @@ class LIVOPipeline:
         if is_kf:
             scan4 = (self._kf_scan_raw_jit(pts_pack) if self.kf_use_raw
                      else self._kf_scan_jit(self.packed, pg_pack))
+            try:  # pre-warm the host copy the link builder will read
+                self.packed.copy_to_host_async()
+            except AttributeError:
+                pass
             self._keyframes.append((t_ev, self.packed, scan4))
             if self.online_refine and self._refiner is not None:
                 self._consume_refine()
@@ -1393,7 +1404,50 @@ class LIVOPipeline:
         kfs = self._keyframes[-self.refine_window_size:]
         window = self._kf_window(kfs)
         ts = [kf[0] for kf in kfs]
-        return self._refiner.submit(window, meta=(ts, window.rot, window.pos))
+        links = self._build_links(kfs) if self.refine_imu_links else None
+        return self._refiner.submit(window, links=links,
+                                    meta=(ts, window.rot, window.pos))
+
+    def _build_links(self, kfs):
+        """Preintegrated IMU links between consecutive keyframes
+        (parallel/ba.ImuLinks) from the retained host IMU history, with
+        velocities/biases/gravity read from the keyframe filter states
+        (their host copies were started asynchronously at capture)."""
+        from ..parallel import ba
+
+        if not self._imu_hist:
+            return None
+        K = len(kfs)
+        ts = np.array([kf[0] for kf in kfs])
+        t_all = np.concatenate([h[0] for h in self._imu_hist])
+        g_all = np.concatenate([h[1] for h in self._imu_hist])
+        a_all = np.concatenate([h[2] for h in self._imu_hist])
+        # trim history below the window (keep one stride of margin)
+        lo = ts[0] - 2.0
+        if len(t_all) and t_all[0] < lo - 10.0:
+            keep = t_all >= lo
+            self._imu_hist = [(t_all[keep], g_all[keep], a_all[keep])]
+        # np.asarray on the FULL packed array reuses the host copy the
+        # keyframe capture started asynchronously (a device-side [:24]
+        # slice would force a fresh synchronous d2h per keyframe).
+        states = [np.asarray(kf[1], np.float64)[:24] for kf in kfs]
+        dR = np.tile(np.eye(3), (K, 1, 1))
+        dp = np.zeros((K, 3))
+        dts = np.full(K, 1e-3)
+        vel = np.stack([st[12:15] for st in states])
+        valid = np.zeros(K, bool)
+        for k in range(K - 1):
+            st = states[k]
+            dRk, dpk, dtk = ba.preintegrate(
+                t_all, g_all, a_all, st[15:18], st[18:21], ts[k], ts[k + 1])
+            dR[k], dp[k], dts[k] = dRk, dpk, dtk
+            valid[k] = dtk > 1e-3
+        grav = states[-1][21:24]
+        f32 = jnp.float32
+        return ba.ImuLinks(
+            dR=jnp.asarray(dR, f32), dp=jnp.asarray(dp, f32),
+            dt=jnp.asarray(dts, f32), vel=jnp.asarray(vel, f32),
+            grav=jnp.asarray(grav, f32), valid=jnp.asarray(valid))
 
     def _consume_refine(self, force: bool = False):
         """Collect a completed refinement (non-blocking unless force) and
@@ -1435,20 +1489,24 @@ class LIVOPipeline:
         return out
 
     def refine_trajectory(self, outer_iters: int = 2, gn_iters: int = 3,
-                          max_keyframes: int = 32, mesh=None):
+                          max_keyframes: int = 32, mesh=None,
+                          imu_links: bool = True):
         """Post-run sliding-window refinement over the collected
         keyframes (their UNDISTORTED posterior body scans — see
         _kf_scan). Enable collection with `pipeline.keyframe_every = N`
-        before process(). Returns [(t, R, p)] refined keyframe poses."""
+        before process(). Returns [(t, R, p)] refined keyframe poses.
+        imu_links adds preintegrated IMU factors between keyframes when
+        IMU history is available (see parallel/ba.ImuLinks)."""
         from ..parallel import ba
 
         assert self._keyframes, "set keyframe_every before process()"
         kfs = self._keyframes[-max_keyframes:]
         window = self._kf_window(kfs)
+        links = self._build_links(kfs) if imu_links else None
         refined, n_used = ba.refine_window(
             window, self.map_cfg, outer_iters=outer_iters, gn_iters=gn_iters,
             dept_err=self.cfg.lio.dept_err, beam_err=self.cfg.lio.beam_err,
-            mesh=mesh,
+            mesh=mesh, imu_links=links,
         )
         R_np = np.asarray(refined.rot)
         p_np = np.asarray(refined.pos)

@@ -178,7 +178,8 @@ def refine_window(window: Window, map_cfg: vm.VoxelMapConfig,
                   outer_iters: int = 2, gn_iters: int = 3,
                   dept_err: float = 0.02, beam_err: float = 0.05,
                   mesh=None, imu_links: "ImuLinks" = None,
-                  imu_rot_sigma: float = 0.01, imu_pos_sigma: float = 0.05):
+                  imu_rot_sigma: float = 0.01, imu_pos_sigma: float = 0.05,
+                  link_sweeps: int = 4):
     """Alternate map rebuild / pose refinement. Returns (window, n_used
     (K,)). Shard `window` arrays on the leading K axis over a mesh for
     multi-device execution (see tests/test_ba.py).
@@ -188,7 +189,10 @@ def refine_window(window: Window, map_cfg: vm.VoxelMapConfig,
     two neighbors' poses (held fixed per outer iteration — Jacobi), so
     the window stays observable where the map is degenerate.
     imu_rot_sigma / imu_pos_sigma: 1σ of a link's rotation (rad) and
-    position (m) residual at dt=1 s; weights scale as 1/(σ²·dt)."""
+    position (m) residual at dt=1 s; weights scale as 1/(σ²·dt).
+    link_sweeps: Jacobi sweeps per map rebuild — information propagates
+    one keyframe hop per sweep along the chain, so sweeps*outer_iters
+    bounds the effective constraint propagation distance."""
     K, N, _ = window.scans.shape
 
     n_used = jnp.zeros((K,), jnp.int32)
@@ -212,20 +216,9 @@ def refine_window(window: Window, map_cfg: vm.VoxelMapConfig,
             dt_s = jnp.maximum(L.dt, 1e-3)
             w_rot_k = 1.0 / (imu_rot_sigma**2 * dt_s)  # (K,) link k->k+1
             w_pos_k = 1.0 / (imu_pos_sigma**2 * dt_s)
+            w_prev_rot = jnp.roll(w_rot_k, 1)
+            w_prev_pos = jnp.roll(w_pos_k, 1)
             idx = jnp.arange(K)
-            # neighbor snapshots (this outer iteration's input poses)
-            roll = lambda a, sh: jnp.roll(a, sh, axis=0)
-            nbrs = (
-                roll(window.rot, 1), roll(window.pos, 1),  # prev pose
-                roll(L.dR, 1), roll(L.dp, 1), roll(dt_s, 1),
-                roll(L.vel, 1),
-                roll(L.valid, 1) & (idx > 0),  # link (k-1 -> k)
-                roll(window.rot, -1), roll(window.pos, -1),  # next pose
-                L.dR, L.dp, dt_s, L.vel,
-                L.valid & (idx < K - 1),  # link (k -> k+1)
-            )
-            w_prev_rot = roll(w_rot_k, 1)
-            w_prev_pos = roll(w_pos_k, 1)
 
             def one(r, p, s, v, rp, pp, dRp, dpp, dtp, vp, okp,
                     rn, pn, dRn, dpn, dtn, vk, okn, wr_p, wp_p, wr_n, wp_n):
@@ -242,9 +235,23 @@ def refine_window(window: Window, map_cfg: vm.VoxelMapConfig,
             # both edges; the per-edge dt weighting difference is second
             # order (adjacent links have similar dt), so we pass the
             # prev-edge weight when it exists, else the next-edge one.
-            rot, pos, n_used = jax.vmap(one)(
-                window.rot, window.pos, window.scans, window.valid,
-                *nbrs, w_prev_rot, w_prev_pos, w_rot_k, w_pos_k)
+            rot, pos = window.rot, window.pos
+            for _ in range(link_sweeps):
+                # neighbor snapshots refresh each sweep (jnp.roll ->
+                # collective permute under keyframe sharding)
+                roll = lambda a, sh: jnp.roll(a, sh, axis=0)
+                nbrs = (
+                    roll(rot, 1), roll(pos, 1),  # prev pose
+                    roll(L.dR, 1), roll(L.dp, 1), roll(dt_s, 1),
+                    roll(L.vel, 1),
+                    roll(L.valid, 1) & (idx > 0),  # link (k-1 -> k)
+                    roll(rot, -1), roll(pos, -1),  # next pose
+                    L.dR, L.dp, dt_s, L.vel,
+                    L.valid & (idx < K - 1),  # link (k -> k+1)
+                )
+                rot, pos, n_used = jax.vmap(one)(
+                    rot, pos, window.scans, window.valid,
+                    *nbrs, w_prev_rot, w_prev_pos, w_rot_k, w_pos_k)
         rot = so3.normalize_rotation(rot)
         window = window._replace(rot=rot, pos=pos)
     return window, n_used
@@ -292,20 +299,27 @@ class OnlineRefiner:
         self._refine_jit = jax.jit(lambda w: refine_window(
             w, map_cfg, outer_iters=outer_iters, gn_iters=gn_iters,
             dept_err=dept_err, beam_err=beam_err, mesh=mesh))
+        self._refine_linked_jit = jax.jit(lambda w, l: refine_window(
+            w, map_cfg, outer_iters=outer_iters, gn_iters=gn_iters,
+            dept_err=dept_err, beam_err=beam_err, mesh=mesh, imu_links=l))
 
     @property
     def busy(self) -> bool:
         return self._pending is not None
 
-    def submit(self, window: Window, meta=None) -> bool:
+    def submit(self, window: Window, meta=None, links=None) -> bool:
         """Dispatch one window refinement (non-blocking). Returns False
         while a previous refinement is pending — in flight OR completed
         but not yet poll()ed (overwriting a completed result would lose
         it; poll first). Dropped submissions are fine: the next stride
-        covers these keyframes too."""
+        covers these keyframes too. `links`: optional ImuLinks
+        (preintegrated IMU factors between the window's keyframes)."""
         if self._pending is not None:
             return False
-        refined, _ = self._refine_jit(window)
+        if links is not None:
+            refined, _ = self._refine_linked_jit(window, links)
+        else:
+            refined, _ = self._refine_jit(window)
         self._pending = (meta, refined)
         return True
 

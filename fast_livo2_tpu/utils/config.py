@@ -171,7 +171,14 @@ class CameraConfig:
 class TPUParams:
     """Fixed-shape capacities for the array-programming design (new)."""
 
-    max_points_per_scan: int = 32768  # pad size for undistorted scans
+    max_points_per_scan: int = 32768  # pad size for undistorted scans.
+    # SIZING RULE (r4): this caps the points per SYNC PACKET, and in
+    # LIVO mode a packet spans every scan up to the next image — at
+    # image rates below the LiDAR rate that is ceil(lidar_hz/img_hz)
+    # scans. Undersizing silently decimates the LiDAR stream (overflow
+    # drops 1-in-N evenly) and costs LIO accuracy long before any
+    # visual-pool capacity matters: measured 6x ATE degradation at a
+    # 5 Hz-image/8192-cap stress point (tests/test_long_run.py).
     max_points_down: int = 8192  # pad size after voxel-grid downsample
     max_imu_per_packet: int = 64  # pad size for the IMU batch per sync packet
     hash_capacity_log2: int = 18  # per-layer voxel hash slots (2^18 = 262144)

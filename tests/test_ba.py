@@ -213,3 +213,135 @@ def test_online_refiner_async_contract():
     assert r.poll() is None  # drained
     assert r.submit(window, meta="w1")  # idle again accepts
     r.poll(force=True)
+
+
+# ---- IMU link factors (r4, VERDICT r3 item 6) -------------------------
+
+def _exact_links(gt_rot, gt_pos, dt=0.5):
+    """Exact preintegrated links from ground truth (zero-noise IMU
+    limit): dR = R_i^T R_j; dp = R_i^T (p_j - p_i - v_i dt - ½ g dt²)
+    with constant-velocity-segment v_i and zero gravity (test frame)."""
+    K = len(gt_rot)
+    vel = np.zeros((K, 3))
+    for i in range(K - 1):
+        vel[i] = (gt_pos[i + 1] - gt_pos[i]) / dt  # consistent by constr.
+    dR = np.stack([gt_rot[i].T @ gt_rot[min(i + 1, K - 1)]
+                   for i in range(K)])
+    dp = np.stack([
+        gt_rot[i].T @ (gt_pos[min(i + 1, K - 1)] - gt_pos[i]
+                       - vel[i] * dt)
+        for i in range(K)])
+    valid = np.arange(K) < K - 1
+    return ba.ImuLinks(
+        dR=jnp.asarray(dR, jnp.float32), dp=jnp.asarray(dp, jnp.float32),
+        dt=jnp.full((K,), dt, jnp.float32), vel=jnp.asarray(vel, jnp.float32),
+        grav=jnp.zeros(3, jnp.float32), valid=jnp.asarray(valid))
+
+
+def test_preintegrate_matches_ground_truth():
+    """preintegrate() on an analytically exact IMU stream reproduces the
+    relative rotation and position of the generating trajectory."""
+    from fast_livo2_tpu.io import synthetic
+
+    traj = synthetic.Trajectory()
+    rng = np.random.default_rng(0)
+    stamps, gyr, acc = synthetic.imu_stream(
+        traj, 0.0, 2.0, 400.0, rng, gyr_noise=0.0, acc_noise=0.0)
+    t0, t1 = 0.5, 1.5
+    R0, p0 = traj.pose(t0)
+    R1, p1 = traj.pose(t1)
+    v0 = traj.vel(t0)
+    dR, dp, dt = ba.preintegrate(stamps, gyr, acc,
+                                 np.zeros(3), np.zeros(3), t0, t1)
+    # specific force includes -g: the preintegrated dp absorbs
+    # -R0^T g dt²/2, so compare against the gravity-completed identity
+    g = np.array([0.0, 0.0, -9.81])
+    dp_expect = R0.T @ (p1 - p0 - v0 * dt - 0.5 * g * dt * dt)
+    np.testing.assert_allclose(dR, R0.T @ R1, atol=2e-3)
+    np.testing.assert_allclose(dp, dp_expect, atol=5e-3)
+
+
+def test_imu_links_fix_degenerate_window():
+    """A window whose map is a SINGLE plane (floor only): point-to-plane
+    constrains z/roll/pitch but leaves x/y/yaw free, so plane-only
+    refinement cannot remove in-plane pose noise — with IMU links the
+    in-plane directions are anchored to the preintegrated odometry and
+    the window tightens (the VERDICT r3 item 6 'Done' criterion at its
+    sharpest)."""
+    rng = np.random.default_rng(3)
+    K, N, dt = 8, 1200, 0.5
+
+    gt_rot = np.stack([np.eye(3)] * K)
+    gt_pos = np.stack([np.array([0.4 * k, 0.05 * k, 0.0])
+                       for k in range(K)])
+    scans = []
+    for k in range(K):
+        uv = rng.uniform(-6, 6, size=(N, 2))
+        world = np.concatenate(
+            [uv, np.full((N, 1), -1.0)], axis=1)  # floor z=-1
+        world += rng.normal(size=(N, 3)) * 0.004
+        scans.append((world - gt_pos[k]) @ gt_rot[k])
+    window_gt = ba.Window(
+        rot=jnp.asarray(gt_rot, jnp.float32),
+        pos=jnp.asarray(gt_pos, jnp.float32),
+        scans=jnp.asarray(np.stack(scans), jnp.float32),
+        valid=jnp.ones((K, N), bool))
+
+    # perturb IN-PLANE (x, y, yaw): invisible to the single-plane map
+    dyaw = rng.normal(size=K) * 0.01
+    drot = np.stack([np.array(
+        [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+        for a in dyaw])
+    dpos = np.concatenate(
+        [rng.normal(size=(K, 2)) * 0.05, np.zeros((K, 1))], axis=1)
+    window = window_gt._replace(
+        rot=jnp.asarray(np.einsum("kij,kjl->kil", drot, gt_rot), jnp.float32),
+        pos=jnp.asarray(gt_pos + dpos, jnp.float32))
+
+    links = _exact_links(gt_rot, gt_pos, dt=dt)
+
+    def inplane_err(w):
+        p = np.asarray(w.pos) - gt_pos
+        p = p - p.mean(axis=0)  # common mode unobservable
+        return float(np.sqrt((p[:, :2] ** 2).mean()))
+
+    e0 = inplane_err(window)
+    plain, _ = ba.refine_window(window, MAP_CFG, outer_iters=3, gn_iters=3)
+    linked, _ = ba.refine_window(window, MAP_CFG, outer_iters=3, gn_iters=3,
+                                 imu_links=links, imu_rot_sigma=0.002,
+                                 imu_pos_sigma=0.01)
+    e_plain = inplane_err(plain)
+    e_link = inplane_err(linked)
+    # plane-only cannot improve the in-plane error...
+    assert e_plain > 0.6 * e0, (e0, e_plain)
+    # ...IMU links remove most of it
+    assert e_link < 0.5 * e0, (e0, e_link)
+    assert e_link < 0.6 * e_plain, (e_plain, e_link)
+    # and the observable direction (z) stays refined, not degraded
+    z_err = np.abs(np.asarray(linked.pos)[:, 2] - gt_pos[:, 2]).max()
+    assert z_err < 0.02
+
+
+def test_imu_links_sharded_matches():
+    """Keyframe-sharded linked refinement == single-device (the Jacobi
+    neighbor coupling rides jnp.roll -> collective permute)."""
+    window, gt_rot, gt_pos = _make_window()
+    links = _exact_links(gt_rot, gt_pos, dt=0.5)
+    ref, _ = ba.refine_window(window, MAP_CFG, outer_iters=1, gn_iters=2,
+                              imu_links=links)
+    mesh = shd.make_mesh(8)
+    ksh = NamedSharding(mesh, P("dp"))
+    w_s = ba.Window(*(jax.device_put(a, ksh) for a in window))
+    l_s = ba.ImuLinks(
+        dR=jax.device_put(links.dR, ksh), dp=jax.device_put(links.dp, ksh),
+        dt=jax.device_put(links.dt, ksh), vel=jax.device_put(links.vel, ksh),
+        grav=jax.device_put(links.grav, NamedSharding(mesh, P())),
+        valid=jax.device_put(links.valid, ksh))
+    out, _ = jax.jit(
+        lambda w, l: ba.refine_window(w, MAP_CFG, outer_iters=1, gn_iters=2,
+                                      mesh=mesh, imu_links=l)
+    )(w_s, l_s)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.rot), np.asarray(ref.rot),
+                               atol=5e-4)

@@ -148,51 +148,153 @@ def test_long_livo_ring_wrap_obs_cap_30():
     traj_est = pipe.process(seq)
     assert pipe.frame_id > 6 * cfg.tpu.frame_ring  # ring wrapped >= 6x
     rmse = synthetic.ate_rmse([(t, p) for t, _, p in traj_est], seq.gt)
-    # Capacity-STRESS gate, not an accuracy benchmark (those are the
-    # corridor test and the chip-run long benchmarks): at 5 Hz images
-    # two 6k-point scans share each packet against the 8192 cap, the
-    # ring wraps 6x and the pool churns. Measured 0.128-0.19 m across
-    # sampling-level perturbations of the capped packet.
-    assert rmse < 0.25, f"LIVO obs30 long ATE {rmse:.3f} m"
+    # Capacity-STRESS gate. r4 isolation (VERDICT r3 item 7) of the
+    # 0.128 m baseline, one knob at a time:
+    #   scan cap 8192 -> 16384:  0.128 -> 0.022  (THE mechanism)
+    #   ring 16 -> 64:           0.128 -> 0.084  (second order)
+    #   pool 8192 -> 65536:      0.128 -> 0.128  (pool churn: NO effect)
+    #   obs cap 30 -> 8:         0.128 -> 0.146  (obs cap: NO effect)
+    #   all relaxed:             0.021  | only_lio same caps: 0.0066
+    # Mechanism: at 5 Hz images each sync packet spans TWO 6k-point
+    # scans against the 8192-point packet cap, so overflow decimation
+    # drops ~1/3 of the LiDAR points — a LIO degradation, not a visual-
+    # pool capacity limit. Sizing rule now documented at
+    # TPUParams.max_points_per_scan; the properly-sized run is gated by
+    # test_long_livo_packet_cap_sized below.
+    assert rmse < 0.2, f"LIVO obs30 long ATE {rmse:.3f} m"
     tracked = [r.get("n_tracked", 0) for r in pipe.log.rows[5:]]
     assert np.mean(tracked) > 20
 
 
-def test_outdoor_sliding_two_meter_voxels_capped():
-    """Outdoor operating point in CI (2 m voxels + map sliding, the
-    MARS_LVIG config axis — full-size runs on chip via BENCH_LONG).
-    Measured 1.69 m ATE over the 95 m clip (deterministic); the gate
-    holds 30% headroom. At tighter caps (8192, ~0.8x the per-scan hit
-    count) the scenario is chaotically marginal — runs land anywhere
-    from 1.7 to 19 m on sampling-level perturbations — so the cap here
-    stays comfortable and the overflow-decimation regression is pinned
-    by the deterministic unit test
-    test_packet_overflow_decimates_evenly instead."""
+def test_long_livo_packet_cap_sized():
+    """Same stress run with the packet cap sized by the rule (points per
+    IMAGE packet = 2 scans x 6k points < 16384): measured 0.0217 m —
+    6x better than the undersized-cap stress case. Gate with headroom."""
+    cam_cfg = CameraConfig(cam_model="Pinhole", cam_width=320,
+                           cam_height=256, scale=1.0, cam_fx=200.0,
+                           cam_fy=200.0, cam_cx=160.0, cam_cy=128.0)
+    cam = cam_mod.make_camera(cam_cfg)
+    wp = synthetic.long_indoor_waypoints(loops=1)[:12]
+    traj = synthetic.WaypointTrajectory(wp, duration=19.0)
+    seq = synthetic.make_sequence(
+        duration=20.0, lidar_hz=10.0, img_hz=5.0, imu_hz=200.0, cam=cam,
+        seed=3, n_lines=12, n_per_line=500, render=True, fov_deg=360.0,
+        planes=synthetic.long_indoor_scene(), traj=traj, max_range=45.0)
+    cfg = lio_config()
+    cfg.camera = cam_cfg
+    cfg.extrin_calib.Rcl = list(synthetic.R_CI_FORWARD.reshape(-1))
+    cfg.extrin_calib.Pcl = [0.0, 0.0, 0.0]
+    cfg.tpu.max_points_per_scan = 16384  # sized for 2-scan packets
+    cfg.tpu.max_points_down = 8192
+    cfg.tpu.vis_point_capacity = 8192
+    cfg.tpu.frame_ring = 16
+    cfg.tpu.vis_obs_per_point = 30
+    cfg.vio.patch_pyrimid_level = 3
+    pipe = LIVOPipeline(cfg, slam_mode="livo")
+    traj_est = pipe.process(seq)
+    rmse = synthetic.ate_rmse([(t, p) for t, _, p in traj_est], seq.gt)
+    assert rmse < 0.05, f"sized-cap LIVO long ATE {rmse:.3f} m"
+
+
+
+def _outdoor_seq(seed=32):
     wp = synthetic.long_outdoor_waypoints()
     traj = synthetic.WaypointTrajectory(wp, duration=44.0)
-    seq = synthetic.make_sequence(
-        duration=20.0, lidar_hz=10.0, imu_hz=200.0, seed=32,
+    return synthetic.make_sequence(
+        duration=20.0, lidar_hz=10.0, imu_hz=200.0, seed=seed,
         n_lines=24, n_per_line=1000, render=False, fov_deg=360.0,
         planes=synthetic.long_outdoor_scene(), traj=traj, max_range=80.0,
         gyr_noise=2e-3, acc_noise=2e-2, range_noise=0.03,
         bias_g=IMU_BIAS_G, bias_a=IMU_BIAS_A)
 
+
+def _outdoor_cfg(cap=16384, voxel=2.0):
     cfg = lio_config()
-    cfg.tpu.max_points_per_scan = 16384
+    cfg.tpu.max_points_per_scan = cap
     cfg.tpu.max_points_down = 8192
-    cfg.lio.voxel_size = 2.0
+    cfg.lio.voxel_size = voxel
     cfg.preprocess.filter_size_surf = 0.5
     cfg.local_map.map_sliding_en = True
     cfg.local_map.half_map_size = 50
     cfg.local_map.sliding_thresh = 8.0
-    pipe = LIVOPipeline(cfg, slam_mode="only_lio")
+    return cfg
+
+
+def _traveled(seq):
+    gt_p = np.array([g[2] for g in seq.gt])
+    return float(np.sum(np.linalg.norm(np.diff(gt_p, axis=0), axis=1)))
+
+
+def test_outdoor_sliding_two_meter_voxels_capped():
+    """Outdoor operating point in CI (2 m voxels + map sliding, the
+    MARS_LVIG config axis — full-size runs on chip via BENCH_LONG).
+    Measured 1.69 m ATE over the 95 m clip. The r4 diagnosis (VERDICT r3
+    item 5, sweep archived in STATUS.md): the error at this operating
+    point is PLANE-FIT QUALITY at 2 m voxels — halving the voxel to 1 m
+    cuts ATE 12x to 0.138 m on the identical clip
+    (test_outdoor_one_meter_voxel_gate), while scan cap (8192 vs 16384),
+    sliding on/off and octree depth are all second-order, and the
+    r2-era 1.7->19 m blowups are gone since the budget-exact overflow
+    decimation (stability pinned by test_outdoor_stability_sweep)."""
+    seq = _outdoor_seq()
+    pipe = LIVOPipeline(_outdoor_cfg(), slam_mode="only_lio")
     tr = pipe.process(seq)
     assert len(tr) >= 180
     rmse = synthetic.ate_rmse([(t, p) for t, _, p in tr], seq.gt)
-    # distance actually traveled in the 20 s clip
-    gt_p = np.array([g[2] for g in seq.gt])
-    traveled = float(np.sum(np.linalg.norm(np.diff(gt_p, axis=0), axis=1)))
-    drift = 100.0 * rmse / traveled
+    drift = 100.0 * rmse / _traveled(seq)
     assert drift <= 2.5, f"outdoor capped drift {drift:.2f}% " \
-                         f"(ATE {rmse:.2f} m over {traveled:.0f} m)"
+                         f"(ATE {rmse:.2f} m)"
     assert np.linalg.norm(pipe._last_slide_pos) > 0  # sliding engaged
+
+
+def test_outdoor_stability_sweep():
+    """The r3 VERDICT documented 1.7-19 m ATE spread under sampling-level
+    perturbations at the 8192 cap. Measured now (r4): seeds 32/33/34 x
+    caps 8192/16384 all land in 1.5-1.95 m — the instability died with
+    the budget-exact overflow decimation (r3). This sweep pins it:
+    every seed/cap combination stays under 3 m (no 10x blowups)."""
+    for seed in (33, 34):
+        seq = _outdoor_seq(seed)
+        for cap in (8192, 16384):
+            pipe = LIVOPipeline(_outdoor_cfg(cap=cap), slam_mode="only_lio")
+            tr = pipe.process(seq, progress=False)
+            rmse = synthetic.ate_rmse([(t, p) for t, _, p in tr], seq.gt)
+            assert rmse < 3.0, f"seed={seed} cap={cap}: ATE {rmse:.2f} m " \
+                               "(instability regression)"
+
+
+def test_outdoor_one_meter_voxel_gate():
+    """The accurate outdoor operating point (r4): 1 m voxels on the same
+    clip measure 0.138 m ATE = 0.15% of distance — the tightened gate
+    VERDICT r3 item 5 asked for (<=0.5%, 3x headroom)."""
+    seq = _outdoor_seq()
+    pipe = LIVOPipeline(_outdoor_cfg(voxel=1.0), slam_mode="only_lio")
+    tr = pipe.process(seq, progress=False)
+    rmse = synthetic.ate_rmse([(t, p) for t, _, p in tr], seq.gt)
+    drift = 100.0 * rmse / _traveled(seq)
+    assert drift <= 0.5, f"outdoor 1 m-voxel drift {drift:.2f}% " \
+                         f"(ATE {rmse:.3f} m)"
+
+
+def test_outdoor_imu_linked_refine_beats_plain():
+    """VERDICT r3 item 6 'Done' criterion: refine_window with IMU
+    factors beats point-to-plane-only on the outdoor benchmark.
+    Measured: filter 1.497 m @ keyframes, plain refine 1.566 m (WORSE
+    than the filter — the 2 m-voxel map is degenerate in places and the
+    map-only GN drifts there), linked refine 1.433 m (best of the
+    three)."""
+    seq = _outdoor_seq()
+    pipe = LIVOPipeline(_outdoor_cfg(), slam_mode="only_lio")
+    pipe.keyframe_every = 10
+    tr = pipe.process(seq, progress=False)
+    plain = pipe.refine_trajectory(outer_iters=3, gn_iters=3,
+                                   max_keyframes=32, imu_links=False)
+    linked = pipe.refine_trajectory(outer_iters=3, gn_iters=3,
+                                    max_keyframes=32, imu_links=True)
+    ate_plain = synthetic.ate_rmse([(t, p) for t, _, p in plain], seq.gt)
+    ate_link = synthetic.ate_rmse([(t, p) for t, _, p in linked], seq.gt)
+    kf_ts = set(t for t, _, _ in plain)
+    ate_filt = synthetic.ate_rmse(
+        [(t, p) for t, _, p in tr if t in kf_ts], seq.gt)
+    assert ate_link < ate_plain, (ate_link, ate_plain)
+    assert ate_link < ate_filt, (ate_link, ate_filt)
