@@ -76,12 +76,18 @@ def load_sequence(path: str, imu_time_offset=0.0, img_time_offset=0.0,
     sc = np.load(os.path.join(path, "scans.npz"))
     scans = []
     start = sc["start"]
+    # Hoist the big arrays OUT of the loop: NpzFile re-inflates the whole
+    # compressed member on EVERY [] access, so `sc["points"][s:e]` inside
+    # the loop was O(n_scans x total_bytes) — a 200 MB / 750-scan cache
+    # took ~25 min to "load" (r4 bench hang) vs ~2 s hoisted.
+    points = sc["points"]
+    t_offs = sc["t_offs"]
     for i, tb in enumerate(sc["t_begin"]):
         s, e = int(start[i]), int(start[i + 1])
         scans.append((
             float(tb) + lidar_time_offset,
-            sc["points"][s:e].astype(np.float32),
-            sc["t_offs"][s:e].astype(np.float32),
+            points[s:e].astype(np.float32),
+            t_offs[s:e].astype(np.float32),
         ))
 
     images = []
