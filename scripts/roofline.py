@@ -224,6 +224,19 @@ def main():
         filter_size_surf=0.075, max_points_per_scan=131072,
         max_points_down=32768, descend_compact=16384, insert_compact=8192,
         max_tracked_points=512)))
+    if "--dense16" in sys.argv:
+        # 16x: 384k-point scans, 0.05 m leaf, 1024 patches — the regime
+        # where compute genuinely outweighs the relay floor.
+        d16 = bench.cached_sequence(
+            "dense16", lambda: synthetic.make_sequence(
+                duration=2.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
+                cam=cam, seed=6, n_lines=96, n_per_line=4000, render=True,
+                fov_deg=360.0),
+            duration=2.0, seed=6, n_lines=96, n_per_line=4000, v=2)
+        operating_points.append(("dense_16x", d16, dict(
+            filter_size_surf=0.05, max_points_per_scan=524288,
+            max_points_down=65536, descend_compact=32768,
+            insert_compact=16384, max_tracked_points=1024)))
 
     lines = ["# Speed-of-light accounting (measured on chip)", "",
              f"Machine constants (measured): sync {const['sync_ms']:.2f} ms, "

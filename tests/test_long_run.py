@@ -250,7 +250,9 @@ def test_outdoor_sliding_two_meter_voxels_capped():
     assert len(tr) >= 180
     rmse = synthetic.ate_rmse([(t, p) for t, _, p in tr], seq.gt)
     drift = 100.0 * rmse / _traveled(seq)
-    assert drift <= 2.5, f"outdoor capped drift {drift:.2f}% " \
+    # measured 1.78% on this clip (plane-fit-limited at 2 m voxels; the
+    # full-scale 222 m chip run lands 0.48%) — tightened r3's 2.5% gate
+    assert drift <= 2.2, f"outdoor capped drift {drift:.2f}% " \
                          f"(ATE {rmse:.2f} m)"
     assert np.linalg.norm(pipe._last_slide_pos) > 0  # sliding engaged
 
