@@ -81,6 +81,30 @@ win_out, n_used = ba.refine_window(win, map_cfg, outer_iters=1, gn_iters=2,
 jax.block_until_ready(win_out)
 pos_ba = np.asarray(_rep_fetch(win_out.pos)[0])
 
+# --- wall-clock timing in the 2-process regime (VERDICT r3 item 9):
+# every process participates in each timed call (SPMD), process 0
+# reports. The d2h of a replicated scalar fences true completion.
+import time  # noqa: E402
+
+lio_jit = jax.jit(step)
+ba_jit = jax.jit(lambda w: ba.refine_window(
+    w, map_cfg, outer_iters=1, gn_iters=2, mesh=mesh)[0])
+
+
+def _timed(fn, *args, fetch):
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(_rep_fetch(fetch(out))[0])
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
+lio_ms = _timed(lio_jit, state_g, cov_g, m_g, body_g, valid_g,
+                fetch=lambda r: r.state.pos)
+ba_ms = _timed(ba_jit, win, fetch=lambda w: w.pos)
+
 if pid == 0:
     # single-device reference on local data (plain jit, no mesh)
     res_ref = jax.jit(step)(state, cov, m, body, valid)
@@ -89,4 +113,5 @@ if pid == 0:
     np.testing.assert_allclose(cov_dist, np.asarray(res_ref.cov), atol=1e-3)
     assert np.isfinite(pos_ba).all() and np.abs(pos_ba).max() < 1.0
     print("DIST_OK", float(np.linalg.norm(pos_dist)), flush=True)
+    print(f"DIST_TIME lio_ms={lio_ms:.1f} refine_ms={ba_ms:.1f}", flush=True)
 jax.distributed.shutdown()
