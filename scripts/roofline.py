@@ -182,13 +182,9 @@ def main():
     import fast_livo2_tpu
 
     fast_livo2_tpu.enable_compile_cache()
-    import copy
-
-    import jax
-
     from fast_livo2_tpu.core import pipeline as pipeline_mod
     from fast_livo2_tpu.core.pipeline import LIVOPipeline
-    from fast_livo2_tpu.io import dataset as ds, synthetic
+    from fast_livo2_tpu.io import synthetic
     from fast_livo2_tpu.models import camera as cam_mod
     from fast_livo2_tpu.utils.config import CameraConfig, LIVOConfig
 

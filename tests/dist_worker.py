@@ -24,14 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=coord, num_processes=n_procs,
                            process_id=pid)
 
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __graft_entry__ as ge  # noqa: E402
-from fast_livo2_tpu.core import voxel_map as vm  # noqa: E402
 from fast_livo2_tpu.parallel import ba  # noqa: E402
 
 assert len(jax.devices()) == 4 * n_procs, jax.devices()
