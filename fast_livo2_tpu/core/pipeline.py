@@ -1440,7 +1440,9 @@ class LIVOPipeline:
             st = states[k]
             dRk, dpk, dtk = ba.preintegrate(
                 t_all, g_all, a_all, st[15:18], st[18:21], ts[k], ts[k + 1])
-            dR[k], dp[k], dts[k] = dRk, dpk, dtk
+            dR[k], dp[k], dts[k] = dRk, dpk, max(dtk, 1e-3)
+            # a sample-free interval (dtk == 0 sentinel) must NOT become
+            # an identity link asserting zero relative motion
             valid[k] = dtk > 1e-3
         grav = states[-1][21:24]
         f32 = jnp.float32

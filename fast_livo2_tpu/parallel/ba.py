@@ -78,7 +78,10 @@ def preintegrate(stamps, gyr, acc, bg, ba_, t0, t1):
     w = np.asarray(gyr, np.float64)[m] - bg
     a = np.asarray(acc, np.float64)[m] - ba_
     if len(w) == 0:
-        return np.eye(3), np.zeros(3), max(t1 - t0, 1e-6)
+        # No samples in the interval: an identity link would wrongly
+        # assert zero relative motion — callers must treat dt=0 links
+        # as invalid (pipeline._build_links gates on n_samples).
+        return np.eye(3), np.zeros(3), 0.0
     def _exp(v):
         th = np.linalg.norm(v)
         if th < 1e-12:
