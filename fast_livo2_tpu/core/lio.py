@@ -18,6 +18,11 @@ from ..ops import so3
 from ..ops.precision import hi_precision
 from .state import DIM_STATE, NavState, boxminus, boxplus
 from .voxel_map import PlaneMatch, VoxelMap, VoxelMapConfig, match_planes, quad6
+from ..ops import voxel_hash as _vh
+
+
+def _bucket_centers(ck):
+    return _vh._bucket(ck, 1 << 16)
 
 
 def calc_body_cov(pts_b: jnp.ndarray, range_inc: float, degree_inc: float):
@@ -105,6 +110,8 @@ def lio_update(
     beam_err: float = 0.05,
     max_iterations: int = 5,
     rematch_fresh: bool = True,
+    fresh_every_iter: bool = False,
+    plane_info_cap: int = 0,
 ) -> LIOResult:
     """Iterated point-to-plane ESIKF update (StateEstimation,
     voxel_map.cpp:338-511).
@@ -140,6 +147,7 @@ def lio_update(
         sigma_plane=jnp.zeros(n_pts, f32),
         cov_nn=jnp.zeros((n_pts, 6), f32),
         cov_qq=jnp.zeros((n_pts, 6), f32),
+        layer=jnp.full((n_pts,), -1, jnp.int32),
     )
 
     def cond(carry):
@@ -200,6 +208,22 @@ def lio_update(
             + jnp.einsum("ni,nij,nj->n", n, var_meas_rot, n)
         )
         R_inv = jnp.where(use, 1.0 / (1e-3 + sigma_l), 0.0)
+        if plane_info_cap > 0:
+            # Information equalization across matched planes (r5, new —
+            # no reference counterpart): all points matched to ONE plane
+            # share that plane's fit error, so their residuals are
+            # correlated; treating them as independent lets a single
+            # slightly-wrong coarse plane out-vote many correct small
+            # ones (the large-voxel attitude transient). Cap each
+            # matched plane's effective point count: weight *=
+            # min(1, cap / n_points_on_plane). Two random-access ops.
+            ck = jnp.round(match.center * 8.0).astype(jnp.int32)
+            h = _bucket_centers(ck)
+            cnt = jnp.zeros((1 << 16,), f32).at[
+                jnp.where(use, h, 1 << 16)
+            ].add(1.0, mode="drop")
+            R_inv = R_inv * jnp.minimum(
+                1.0, plane_info_cap / jnp.maximum(cnt[h], 1.0))
 
         HTH6 = jnp.einsum("ni,n,nj->ij", H, R_inv, H)
         HTz6 = jnp.einsum("ni,n,n->i", H, R_inv, z)
@@ -230,7 +254,12 @@ def lio_update(
         # at the converged state (< 0.01 deg / 0.015 cm motion) the
         # matched voxel per point is essentially always unchanged, and it
         # saves the second match_planes search (~5 ms/frame).
-        fresh_next = (inc > 0) & rematch_fresh
+        # fresh_every_iter: full re-association EVERY iteration — the
+        # reference's exact behavior (BuildResidualListOMP re-runs each
+        # iteration, voxel_map.cpp:409). Costs one match_planes per
+        # iteration; buys within-update re-association when the prior
+        # is degrees off (the large-voxel attitude transient, r5).
+        fresh_next = ((inc > 0) & rematch_fresh) | fresh_every_iter
         return (it + 1, state, stop, rematch, G, match, fresh_next)
 
     init = (jnp.asarray(0, jnp.int32), state_prop, jnp.asarray(False),

@@ -43,13 +43,28 @@ import numpy as np
 
 from ..models import camera as cam_mod
 from ..models import lidar as lidar_mod
-from ..ops import so3
+from ..ops import eig3, so3
 from ..utils.config import LIVOConfig
 from . import imu as imu_mod
 from . import lio as lio_mod
 from . import vio as vio_mod
 from . import voxel_map as vmap_mod
 from .state import NavState, init_cov, init_state, pack_state, unpack_state
+
+
+def _plane_cond(match, valid):
+    """Plane-direction conditioning of one LIO update: the smallest
+    eigenvalue of the matched-normal second moment sum n n^T, normalized
+    by the match count — in [0, 1/3]. Near 1/3 = isotropic constraint
+    directions; near 0 = translation unobservable along some axis
+    (corridor / single dominant plane). Drives the degeneracy-gated
+    backend engagement (VERDICT r4 weak #5)."""
+    use = match.valid & valid
+    n = jnp.where(use[:, None], match.normal, 0.0)
+    nn = n.T @ n
+    cnt = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)
+    evals, _ = eig3.eigh3((nn / cnt)[None])
+    return evals[0, 0]
 
 
 def _pad_points(pts: np.ndarray, offs: np.ndarray, n: int):
@@ -113,6 +128,9 @@ class LIVOPipeline:
             max_points_num=cfg.lio.max_points_num,
             insert_compact=t.insert_compact,
             descend_compact=t.descend_compact,
+            sticky_cut=t.sticky_cut,
+            pre_descend_margin=t.pre_descend_margin,
+            match_finest=t.match_finest,
         )
         self.cam = cam_mod.make_camera(cfg.camera)
         gs, gnw, gnh = vio_mod.derive_grid(self.cam, cfg.vio.grid_size, cfg.vio.grid_n_height)
@@ -261,9 +279,18 @@ class LIVOPipeline:
         self.refine_feedback = True
         self._refiner = None
         self._last_refine_k = 0
+        self.refine_gate = 0.0  # see enable_online_refine(gate=)
+        self._kf_conds: List = []  # per-keyframe plane_cond samples
+        self.refine_submits = 0  # windows actually dispatched
+        self.refine_gate_skips = 0  # windows skipped as healthy
         self.refined_keyframes = {}  # t -> (R, p), newest refinement wins
         self._imu_hist: List = []  # (stamps, gyr, acc) for link preint
         self.refine_imu_links = True  # preintegrated IMU link factors
+        self.refine_photo = False  # capture per-keyframe photometric
+        # factors (vio.capture_photo_factors -> ba.PhotoFactors) and add
+        # the exposure-normalized photometric residual to refine_window
+        # (VERDICT r4 item 4). LIVO mode only (needs images).
+        self._kf_photo_jit = None
         self._refine_deltas: List = []  # (t_applied, R_d, p_d) feedback log
 
         def _kf_scan(packed_sc, pg_pack):
@@ -399,6 +426,8 @@ class LIVOPipeline:
             dept_err=cfg.lio.dept_err, beam_err=cfg.lio.beam_err,
             max_iterations=cfg.lio.max_iterations if "lio" not in _SKIP else 1,
             rematch_fresh=cfg.tpu.lio_rematch_fresh,
+            fresh_every_iter=cfg.tpu.lio_fresh_every_iter,
+            plane_info_cap=cfg.tpu.lio_plane_info_cap,
         )
         if do_map and "map" not in _SKIP:
             vmap_state = vmap_mod.update_map(
@@ -422,7 +451,7 @@ class LIVOPipeline:
         diag = jnp.stack([
             res.n_effective.astype(jnp.float32), res.mean_residual,
             n_tracked.astype(jnp.float32), n_added.astype(jnp.float32),
-            verr, jnp.asarray(0.0),
+            verr, _plane_cond(res.match, down_valid),
         ])
         out = (pack_state(state, cov), vmap_state, pool, ring, diag)
         if emit_pg:
@@ -514,13 +543,16 @@ class LIVOPipeline:
                 self.ext_R, self.ext_T, self.map_cfg,
                 dept_err=cfg.lio.dept_err, beam_err=cfg.lio.beam_err,
                 max_iterations=cfg.lio.max_iterations,
-                rematch_fresh=cfg.tpu.lio_rematch_fresh)
+                rematch_fresh=cfg.tpu.lio_rematch_fresh,
+                fresh_every_iter=cfg.tpu.lio_fresh_every_iter,
+                plane_info_cap=cfg.tpu.lio_plane_info_cap)
             normal = jnp.where(res.match.valid[:, None], res.match.normal, 0.0)
             pg_pack = jnp.concatenate(
                 [res.pts_w, normal, vmap_mod.sym6(res.var_w),
                  down_valid[:, None].astype(jnp.float32)], axis=-1)
             diag2 = jnp.stack([res.n_effective.astype(jnp.float32),
-                               res.mean_residual])
+                               res.mean_residual,
+                               _plane_cond(res.match, down_valid)])
             return pack_state(res.state, res.cov), pg_pack, diag2
 
         self._stage_jits = {
@@ -554,7 +586,8 @@ class LIVOPipeline:
             "lio", self._stage_jits["lio"], packed_prop, self.vmap_state,
             down_pts, down_valid)
         self.vmap_state = run("map", self._map_jit, self.vmap_state, pg_pack)
-        diag = jnp.zeros((6,), jnp.float32).at[0:2].set(diag2)
+        diag = jnp.zeros((6,), jnp.float32).at[0:2].set(diag2[0:2])
+        diag = diag.at[5].set(diag2[2])
         if use_vio:
             self.packed, self.pool, self.ring, vdiag = run(
                 "vio", self._vio_half_jit, self.packed, self.pool,
@@ -890,6 +923,19 @@ class LIVOPipeline:
             self._imu_t = self._imu_t[i0:]
             self._imu_gyr = self._imu_gyr[i0:]
             self._imu_acc = self._imu_acc[i0:]
+        # Bound the backend-link IMU history to the refine-window horizon
+        # even when _build_links never runs (advisor r4: with
+        # keyframe_every set but refinement off, the history leaked
+        # ~5.6 KB/s forever). Whole chunks older than the oldest keyframe
+        # the next window could use are dropped — O(1) per call, no
+        # concatenation.
+        if self._imu_hist and self.keyframe_every:
+            kfs = self._keyframes[-self.refine_window_size:]
+            lo = (kfs[0][0] if kfs else self.last_update_time) - 2.0
+            while (len(self._imu_hist) > 1
+                   and len(self._imu_hist[0][0])
+                   and self._imu_hist[0][0][-1] < lo):
+                self._imu_hist.pop(0)
 
     def imu_rate_poses(self, t_until: Optional[float] = None):
         """IMU-rate odometry between frame updates: forward-only
@@ -1111,11 +1157,19 @@ class LIVOPipeline:
         if is_kf:
             scan4 = (self._kf_scan_raw_jit(pts_pack) if self.kf_use_raw
                      else self._kf_scan_jit(self.packed, pg_pack))
+            photo = None
+            if (self.refine_photo and img_dev is not None
+                    and pg_pack is not None):
+                photo = self._capture_photo(img_dev, pg_pack)
+            if self.refine_gate > 0.0:
+                # one tiny d2h per keyframe: the degeneracy signal the
+                # submit gate reads (diag[5] = plane conditioning)
+                self._kf_conds.append(float(np.asarray(diag[5])))
             try:  # pre-warm the host copy the link builder will read
                 self.packed.copy_to_host_async()
             except AttributeError:
                 pass
-            self._keyframes.append((t_ev, self.packed, scan4))
+            self._keyframes.append((t_ev, self.packed, scan4, photo))
             if self.online_refine and self._refiner is not None:
                 self._consume_refine()
                 k = len(self._keyframes)
@@ -1175,7 +1229,7 @@ class LIVOPipeline:
             r.pop("vdiag", None)
             r.update(n_eff=int(d[0]), mean_res=float(d[1]),
                      n_tracked=int(d[2]), n_added=int(d[3]),
-                     vio_err=float(d[4]))
+                     vio_err=float(d[4]), plane_cond=float(d[5]))
 
     def effect_points(self):
         """Per-frame effective points — the scan points that matched a
@@ -1369,7 +1423,8 @@ class LIVOPipeline:
     def enable_online_refine(self, keyframe_every: int = 10,
                              window: int = 16, stride: int = 8,
                              outer_iters: int = 2, gn_iters: int = 2,
-                             feedback: bool = True, mesh=None):
+                             feedback: bool = True, mesh=None,
+                             photo: bool = False, gate: float = 0.0):
         """Turn on the online sliding-window backend (SURVEY §2.3 north
         star): collect a keyframe every `keyframe_every` frames, and
         every `stride` keyframes dispatch an asynchronous refinement of
@@ -1377,7 +1432,15 @@ class LIVOPipeline:
         device interleaves it with frame programs (or runs it on `mesh`'s
         devices); when a refinement completes, the newest keyframe's pose
         delta is fed back into the filter (small-delta gated) and refined
-        keyframe poses accumulate in `refined_keyframes`."""
+        keyframe poses accumulate in `refined_keyframes`.
+
+        gate (VERDICT r4 weak #5): 0 = always-on; > 0 = degeneracy-gated
+        engagement — a window is only submitted when some keyframe's
+        plane-direction conditioning (smallest eigenvalue of the
+        normalized matched-normal second moment, FrameLog `plane_cond`,
+        in [0, 1/3]) dropped below the gate. A healthy filter then pays
+        only a per-keyframe scalar check instead of the always-on
+        backend's device time; degenerate windows engage immediately."""
         from ..parallel import ba
 
         self.keyframe_every = keyframe_every
@@ -1385,10 +1448,16 @@ class LIVOPipeline:
         self.refine_window_size = window
         self.refine_stride = stride
         self.refine_feedback = feedback
+        self.refine_photo = photo
+        self.refine_gate = gate
+        self._kf_conds: List = []
         self._refiner = ba.OnlineRefiner(
             self.map_cfg, outer_iters=outer_iters, gn_iters=gn_iters,
             dept_err=self.cfg.lio.dept_err, beam_err=self.cfg.lio.beam_err,
             mesh=mesh,
+            cam=self.cam if photo else None, Rci=self.Rci, Pci=self.Pci,
+            patch_size=self.vio_cfg.patch_size,
+            photo_weight=1.0 / self.cfg.vio.img_point_cov,
         )
 
     def _kf_window(self, kfs):
@@ -1400,13 +1469,62 @@ class LIVOPipeline:
         valid = jnp.stack([kf[2][:, 3] > 0.5 for kf in kfs])
         return ba.Window(rot=rot, pos=pos, scans=scans, valid=valid)
 
+    def _capture_photo(self, img_dev, pg_pack):
+        """Keyframe photometric-factor capture (one extra jitted program
+        per keyframe, LIVO mode only): the frame's retrieval re-run at
+        the posterior state with exposure-normalized reference targets
+        (vio.capture_photo_factors). Returns device arrays
+        (img u8, tau, pos, target, valid, scale)."""
+        if self._kf_photo_jit is None:
+            def cap(packed, pool, ring, img, pg):
+                state, _ = unpack_state(packed)
+                pos, tgt, val, scale = vio_mod.capture_photo_factors(
+                    pool, ring, img.astype(jnp.float32), state,
+                    pg[:, 0:3], pg[:, 12] > 0.5, self.cam, self.Rci,
+                    self.Pci, self.vio_cfg)
+                return pos, tgt, val, scale, state.inv_expo
+
+            self._kf_photo_jit = jax.jit(cap)
+        pos, tgt, val, scale, tau = self._kf_photo_jit(
+            self.packed, self.pool, self.ring, img_dev, pg_pack)
+        return (img_dev, tau, pos, tgt, val, scale)
+
+    def _build_photo(self, kfs):
+        """Stack per-keyframe captures into ba.PhotoFactors; None unless
+        every keyframe in the window carried a capture."""
+        from ..parallel import ba
+
+        if not all(len(kf) > 3 and kf[3] is not None for kf in kfs):
+            return None
+        ph = [kf[3] for kf in kfs]
+        return ba.PhotoFactors(
+            img=jnp.stack([p[0] for p in ph]).astype(jnp.float32),
+            inv_expo=jnp.stack([p[1] for p in ph]),
+            pts_w=jnp.stack([p[2] for p in ph]),
+            target=jnp.stack([p[3] for p in ph]),
+            valid=jnp.stack([p[4] for p in ph]),
+            scale=jnp.stack([p[5] for p in ph]),
+        )
+
     def _submit_refine(self) -> bool:
         kfs = self._keyframes[-self.refine_window_size:]
+        if self.refine_gate > 0.0:
+            conds = self._kf_conds[-self.refine_window_size:]
+            if conds and min(conds) >= self.refine_gate:
+                # healthy window: skip the backend entirely (the check
+                # re-runs at every subsequent keyframe, so degeneracy
+                # engages within one keyframe of appearing)
+                self.refine_gate_skips += 1
+                return False
         window = self._kf_window(kfs)
         ts = [kf[0] for kf in kfs]
         links = self._build_links(kfs) if self.refine_imu_links else None
-        return self._refiner.submit(window, links=links,
-                                    meta=(ts, window.rot, window.pos))
+        factors = self._build_photo(kfs) if self.refine_photo else None
+        ok = self._refiner.submit(window, links=links, photo=factors,
+                                  meta=(ts, window.rot, window.pos))
+        if ok:
+            self.refine_submits += 1
+        return ok
 
     def _build_links(self, kfs):
         """Preintegrated IMU links between consecutive keyframes
@@ -1481,7 +1599,8 @@ class LIVOPipeline:
         substituted where a window covered them (newest refinement
         wins) — the backend's smoothed trajectory output."""
         out = []
-        for t, packed, _ in self._keyframes:
+        for kf in self._keyframes:
+            t, packed = kf[0], kf[1]
             if t in self.refined_keyframes:
                 R, p = self.refined_keyframes[t]
             else:
@@ -1492,7 +1611,7 @@ class LIVOPipeline:
 
     def refine_trajectory(self, outer_iters: int = 2, gn_iters: int = 3,
                           max_keyframes: int = 32, mesh=None,
-                          imu_links: bool = True):
+                          imu_links: bool = True, photo: bool = None):
         """Post-run sliding-window refinement over the collected
         keyframes (their UNDISTORTED posterior body scans — see
         _kf_scan). Enable collection with `pipeline.keyframe_every = N`
@@ -1505,10 +1624,15 @@ class LIVOPipeline:
         kfs = self._keyframes[-max_keyframes:]
         window = self._kf_window(kfs)
         links = self._build_links(kfs) if imu_links else None
+        use_photo = self.refine_photo if photo is None else photo
+        factors = self._build_photo(kfs) if use_photo else None
         refined, n_used = ba.refine_window(
             window, self.map_cfg, outer_iters=outer_iters, gn_iters=gn_iters,
             dept_err=self.cfg.lio.dept_err, beam_err=self.cfg.lio.beam_err,
             mesh=mesh, imu_links=links,
+            photo=factors, cam=self.cam, Rci=self.Rci, Pci=self.Pci,
+            patch_size=self.vio_cfg.patch_size,
+            photo_weight=1.0 / self.cfg.vio.img_point_cov,
         )
         R_np = np.asarray(refined.rot)
         p_np = np.asarray(refined.pos)

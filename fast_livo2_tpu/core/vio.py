@@ -1189,6 +1189,34 @@ def vio_step(state_prop: NavState, cov_prop, pool: VisualPool, ring: FrameRing,
     )
 
 
+def capture_photo_factors(pool: VisualPool, ring: FrameRing, img, state,
+                          pg_w, pg_valid, cam: cam_mod.Camera, Rci, Pci,
+                          cfg: VIOConfig, map_cfg=None):
+    """Photometric factor capture for the sliding-window backend
+    (parallel/ba.PhotoFactors; VERDICT r4 item 4). Re-runs the frame's
+    retrieval against the visual map at the keyframe's posterior state
+    and packs the exposure-normalized reference patches as fixed
+    targets:
+
+        target = tau_ref * I_ref(warped)        (vio.cpp:1621's
+                                                 tau_ref * I_ref term)
+
+    The backend's photometric residual for this keyframe is then
+        r = tau_k * I_k(pi(T_k^-1 p_w)) - target
+    with only the keyframe pose free (points, targets, exposure fixed) —
+    the reference's measurement model (vio.cpp:1520-1688) reduced to a
+    pose factor. Returns (pos (M,3), target (M,ps^2), valid (M,),
+    scale (M,) int32)."""
+    Rcw, Pcw = camera_pose(state, Rci, Pci)
+    depth_img = rasterize_depth(cam, Rcw, Pcw, pg_w, pg_valid,
+                                border_px(cfg))
+    submap, _ = retrieve(pool, ring, img, depth_img, state, cam, Rci, Pci,
+                         cfg)
+    target = submap.ref_expo[:, None] * submap.warp_patch[:, 0, :]
+    scale = (1 << submap.search_level.astype(jnp.int32))
+    return submap.pos, target, submap.valid, scale
+
+
 def colorize_points(img, pts_w, valid, state: NavState, cam: cam_mod.Camera,
                     Rci, Pci, blind: float = 0.0):
     """Sample per-point image intensity/color at the projected location

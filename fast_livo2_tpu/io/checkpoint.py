@@ -153,9 +153,12 @@ def load(path: str, pipeline) -> None:
             for i in range(meta.get("n_pending", 0))
         ]
     if "kf_t" in data:  # v4 backend state
+        # photometric captures (r5) are refinement aids and are not
+        # persisted — resumed keyframes carry photo=None until fresh
+        # keyframes arrive.
         pipeline._keyframes = [
             (float(t), jnp.asarray(data["kf_packed"][i]),
-             jnp.asarray(data["kf_scan"][i]))
+             jnp.asarray(data["kf_scan"][i]), None)
             for i, t in enumerate(data["kf_t"])
         ]
         pipeline._last_refine_k = int(meta.get("last_refine_k", 0))

@@ -528,7 +528,8 @@ def ray_hits(origins: np.ndarray, dirs: np.ndarray, surfaces):
 
 def lidar_scan(traj: Trajectory, planes, t_begin: float, period: float,
                n_lines: int, n_per_line: int, rng, range_noise=0.01,
-               fov_deg=70.0, max_range=None):
+               fov_deg=70.0, max_range=None, dropout=0.0,
+               outlier_frac=0.0):
     """One motion-distorted scan: ray directions sweep azimuth over the
     scan period from poses at each point's own timestamp. Returns
     (points_body (N, 3), t_offs (N,) seconds from t_begin). `max_range`
@@ -560,7 +561,16 @@ def lidar_scan(traj: Trajectory, planes, t_begin: float, period: float,
     t, pi, hit = ray_hits(origins, dirs, planes)
     if max_range is not None:
         hit &= t <= max_range
+    if dropout > 0.0:
+        # No-return dropout (dark/specular surfaces, sun glare): drops
+        # a random fraction of hits — VERDICT r4 item 2's LiDAR realism.
+        hit &= rng.random(size=hit.shape) >= dropout
     r = t + rng.normal(size=t.shape) * range_noise
+    if outlier_frac > 0.0:
+        # Off-plane clutter returns (dust / multipath): a small fraction
+        # of ranges land uniformly short of the true surface.
+        out = rng.random(size=r.shape) < outlier_frac
+        r = np.where(out, t * rng.uniform(0.2, 0.98, size=r.shape), r)
     pts_body = d_body * r[:, None]
     return pts_body[hit].astype(np.float32), t_offs[hit].astype(np.float32)
 
@@ -652,7 +662,8 @@ def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
                   max_range=None, gyr_noise=1e-3, acc_noise=1e-2,
                   bias_g=None, bias_a=None,
                   range_noise=0.01, img_photon_noise=0.0,
-                  img_read_noise=0.0, img_blur_px=0.0) -> SyntheticSequence:
+                  img_read_noise=0.0, img_blur_px=0.0,
+                  lidar_dropout=0.0, lidar_outlier_frac=0.0) -> SyntheticSequence:
     """Build a full synthetic LIVO sequence. The first `still_time`
     seconds are stationary for IMU static initialization (the reference
     requires imu_int_frame frames of static data, IMU_Processing.cpp:104).
@@ -699,7 +710,9 @@ def make_sequence(duration=5.0, lidar_hz=10.0, img_hz=10.0, imu_hz=200.0,
     while t + 1.0 / lidar_hz < duration:
         pts, offs = lidar_scan(sh, planes, t, 1.0 / lidar_hz, n_lines,
                                n_per_line, rng, fov_deg=fov_deg,
-                               max_range=max_range, range_noise=range_noise)
+                               max_range=max_range, range_noise=range_noise,
+                               dropout=lidar_dropout,
+                               outlier_frac=lidar_outlier_frac)
         scans.append((t, pts, offs))
         t += 1.0 / lidar_hz
 

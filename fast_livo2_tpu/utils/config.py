@@ -191,12 +191,39 @@ class TPUParams:
     # (unresolved) keys to this many lanes before the claim rounds; 0 off.
     # Lanes count POINTS in not-yet-mapped voxels; overflow drops to the
     # next frame (self-healing), so size for burst frames (new rooms).
+    sticky_cut: bool = False  # reference octree topology (r5): a voxel
+    # with children that fails the plane test with enough points becomes
+    # a permanent internal node (octo_state_=1, voxel_map.cpp:219-268)
+    # instead of refitting every frame. Measured 2x WORSE than the
+    # per-frame refit on the outdoor 2 m benchmark (see
+    # core/voxel_map.VoxelMapConfig.sticky_cut) — A/B knob, default off.
+    pre_descend_margin: float = 0.5  # fitted planes with
+    # lam0 > margin * min_eigen_value are 'marginal': their children
+    # pre-accumulate stats so a later cut has sub-planes ready at once
+    # (stands in for cut_octo_tree's point seeding). 1.0 disables;
+    # 0.0 descends behind every plane (full multi-resolution).
+    match_finest: bool = False  # prefer the deepest gated plane in the
+    # chain over the reference's coarse-first semantics. Measured WORSE
+    # at the outdoor 2 m point (see
+    # core/voxel_map.VoxelMapConfig.match_finest) — A/B knob only; the
+    # shipped large-voxel fix is lio_plane_info_cap.
     vis_point_capacity: int = 65536  # visual point pool
     vis_obs_per_point: int = 8  # observation slots per visual point
     frame_ring: int = 64  # reference-frame ring buffer length
     img_upload_ahead: int = 3  # queued camera frames resident on device
     # ahead of their event (bounded-HBM h2d overlap window)
     max_tracked_points: int = 256  # per-frame visual submap pad size
+    lio_plane_info_cap: int = 0  # >0: cap the effective point count any
+    # single matched plane contributes to one ESIKF update (information
+    # equalization across planes — points sharing a plane share its fit
+    # error, so their residuals are correlated; see core/lio.py). New
+    # capability, no reference counterpart; 0 = off (reference-faithful
+    # independent weighting).
+    lio_fresh_every_iter: bool = False  # full correspondence re-search
+    # on EVERY ESIKF iteration — the reference's exact behavior
+    # (BuildResidualListOMP re-runs per iteration, voxel_map.cpp:409).
+    # Costs ~one match_planes per extra iteration; measured on the
+    # outdoor 2 m transient in r5 (see mars_lvig.yaml tpu section).
     lio_rematch_fresh: bool = True  # True (default): full correspondence
     # re-search on the LIO rematch round, faithful to the reference
     # (BuildResidualListOMP every iteration, voxel_map.cpp:409).

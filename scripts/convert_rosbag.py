@@ -2,11 +2,15 @@
 """Convert a ROS1 bag to the npz sequence layout of io/dataset.py.
 
 One-time offline conversion replacing the reference's live rosbag replay
-(README.md "rosbag play"). Requires the pure-python `rosbags` package
-(pip install rosbags — NOT bundled in the TPU image; run this wherever
-the bags live). The message-processing core (`build_sequence`) is
-rosbags-independent and covered by tests/test_convert.py with faked
-messages.
+(README.md "rosbag play"). Dependency-free: the bag container and the
+FAST-LIVO2 message set are parsed by fast_livo2_tpu.io.rosbag (r5 —
+previously this shell required the external `rosbags` package, the one
+untested link in the real-data path). If `rosbags` IS installed it is
+used instead (it covers more codecs, e.g. lz4 chunks and ROS2 bags).
+The message-processing core (`build_sequence`) is reader-independent and
+covered by tests/test_convert.py; the whole bag->npz->run chain is
+covered end-to-end by tests/test_rosbag_end_to_end.py on a real bag
+file written by fast_livo2_tpu.io.rosbag.write_bag.
 
 Usage:
   python scripts/convert_rosbag.py <bag> <out_dir> \
@@ -42,7 +46,18 @@ def pointcloud2_to_fields(msg):
 
 
 def livox_to_fields(msg):
-    """Field dict from a livox CustomMsg (vendored CustomPoint.h layout)."""
+    """Field dict from a livox CustomMsg (vendored CustomPoint.h layout).
+    Fast path: io.rosbag's deserializer exposes the points as one
+    structured array (points_arr) — zero per-point Python objects."""
+    if hasattr(msg, "points_arr"):
+        arr = msg.points_arr
+        return {
+            "x": np.ascontiguousarray(arr["x"]),
+            "y": np.ascontiguousarray(arr["y"]),
+            "z": np.ascontiguousarray(arr["z"]),
+            "offset_time": arr["offset_time"].astype(np.uint64),
+            "tag": np.ascontiguousarray(arr["tag"]),
+        }
     return {
         "x": np.array([p.x for p in msg.points], np.float32),
         "y": np.array([p.y for p in msg.points], np.float32),
@@ -116,24 +131,34 @@ def main():
     ap.add_argument("--filter-num", type=int, default=1)
     args = ap.parse_args()
 
-    try:
-        from rosbags.highlevel import AnyReader
-    except ImportError:
-        sys.exit("error: `pip install rosbags` to run the converter "
-                 "(pure python, no ROS needed)")
-
     from fast_livo2_tpu.io.dataset import save_sequence
 
     kind_of = {args.imu_topic: "imu", args.lid_topic: "lidar",
                args.img_topic: "image"}
 
-    def records():
-        with AnyReader([Path(args.bag)]) as reader:
-            conns = [c for c in reader.connections if c.topic in kind_of]
-            for conn, ts, raw in reader.messages(connections=conns):
-                msg = reader.deserialize(raw, conn.msgtype)
-                t = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
-                yield kind_of[conn.topic], conn.msgtype, t, msg
+    try:
+        from rosbags.highlevel import AnyReader
+    except ImportError:
+        AnyReader = None
+
+    if AnyReader is not None:
+        def records():
+            with AnyReader([Path(args.bag)]) as reader:
+                conns = [c for c in reader.connections if c.topic in kind_of]
+                for conn, ts, raw in reader.messages(connections=conns):
+                    msg = reader.deserialize(raw, conn.msgtype)
+                    t = (msg.header.stamp.sec
+                         + msg.header.stamp.nanosec * 1e-9)
+                    yield kind_of[conn.topic], conn.msgtype, t, msg
+    else:
+        from fast_livo2_tpu.io import rosbag as bag_mod
+
+        def records():
+            for topic, mtype, t_recv, msg in bag_mod.read_messages(
+                    args.bag, topics=list(kind_of)):
+                h = getattr(msg, "header", None)
+                t = (h.stamp.sec + h.stamp.nanosec * 1e-9) if h else t_recv
+                yield kind_of[topic], mtype, t, msg
 
     seq = build_sequence(records(), args.lidar_type, args.blind,
                          args.filter_num)

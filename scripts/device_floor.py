@@ -8,7 +8,7 @@ frames, then time each sub-program with chained-iteration differencing
 /(k2-k1) slope cancels dispatch/transfer/relay constants — the same
 method as scripts/roofline.py machine constants).
 
-Usage: python scripts/vio_bisect.py [--dense]
+Usage: python scripts/device_floor.py [--dense]
 """
 
 import os

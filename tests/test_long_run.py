@@ -216,7 +216,7 @@ def _outdoor_seq(seed=32):
         bias_g=IMU_BIAS_G, bias_a=IMU_BIAS_A)
 
 
-def _outdoor_cfg(cap=16384, voxel=2.0):
+def _outdoor_cfg(cap=16384, voxel=2.0, info_cap=0):
     cfg = lio_config()
     cfg.tpu.max_points_per_scan = cap
     cfg.tpu.max_points_down = 8192
@@ -225,6 +225,7 @@ def _outdoor_cfg(cap=16384, voxel=2.0):
     cfg.local_map.map_sliding_en = True
     cfg.local_map.half_map_size = 50
     cfg.local_map.sliding_thresh = 8.0
+    cfg.tpu.lio_plane_info_cap = info_cap
     return cfg
 
 
@@ -250,11 +251,32 @@ def test_outdoor_sliding_two_meter_voxels_capped():
     assert len(tr) >= 180
     rmse = synthetic.ate_rmse([(t, p) for t, _, p in tr], seq.gt)
     drift = 100.0 * rmse / _traveled(seq)
-    # measured 1.78% on this clip (plane-fit-limited at 2 m voxels; the
-    # full-scale 222 m chip run lands 0.48%) — tightened r3's 2.5% gate
-    assert drift <= 2.2, f"outdoor capped drift {drift:.2f}% " \
+    # measured 1.31-1.58% across seeds (r5, margin 0.5 defaults) —
+    # tightened from r4's 2.2% gate; the SHIPPED MARS config adds
+    # lio_plane_info_cap and is gated 4x tighter below
+    # (test_outdoor_two_meter_info_cap_gate).
+    assert drift <= 2.0, f"outdoor capped drift {drift:.2f}% " \
                          f"(ATE {rmse:.2f} m)"
     assert np.linalg.norm(pipe._last_slide_pos) > 0  # sliding engaged
+
+
+def test_outdoor_two_meter_info_cap_gate():
+    """The shipped MARS operating point (VERDICT r4 item 1 'Done'
+    criterion): voxel_size 2.0 WITH plane-information equalization
+    (configs/mars_lvig.yaml tpu.lio_plane_info_cap: 1) must land within
+    2x of the 1 m-voxel result on the identical clip. Measured r5:
+    0.14-0.33% drift across seeds 32/33/34 (vs 0.86-1.58% without the
+    cap — the mechanism was correlated residuals sharing one coarse
+    plane's fit error, not plane-fit quality: a GT-built 2 m map fits
+    at 0.9 cm residuals; scripts/diag_map.py). Gate at the 0.5% the
+    VERDICT asked for."""
+    seq = _outdoor_seq()
+    pipe = LIVOPipeline(_outdoor_cfg(info_cap=1), slam_mode="only_lio")
+    tr = pipe.process(seq, progress=False)
+    rmse = synthetic.ate_rmse([(t, p) for t, _, p in tr], seq.gt)
+    drift = 100.0 * rmse / _traveled(seq)
+    assert drift <= 0.5, f"2 m + info-cap drift {drift:.2f}% " \
+                         f"(ATE {rmse:.3f} m)"
 
 
 def test_outdoor_stability_sweep():
@@ -263,7 +285,7 @@ def test_outdoor_stability_sweep():
     caps 8192/16384 all land in 1.5-1.95 m — the instability died with
     the budget-exact overflow decimation (r3). This sweep pins it:
     every seed/cap combination stays under 3 m (no 10x blowups)."""
-    for seed in (33, 34):
+    for seed in (32, 33, 34):
         seq = _outdoor_seq(seed)
         for cap in (8192, 16384):
             pipe = LIVOPipeline(_outdoor_cfg(cap=cap), slam_mode="only_lio")
@@ -308,3 +330,55 @@ def test_outdoor_imu_linked_refine_beats_plain():
         [(t, p) for t, _, p in tr if t in kf_ts], seq.gt)
     assert ate_link < ate_plain, (ate_link, ate_plain)
     assert ate_link < ate_filt, (ate_link, ate_filt)
+
+
+def test_degeneracy_gated_refine():
+    """VERDICT r4 weak #5: with gate=0.05 the backend engages only where
+    the plane-direction conditioning signals degeneracy. Controlled
+    pair: a geometry-rich room orbit (conditioning ~0.25 median) must
+    SKIP every window — the healthy filter pays only a per-keyframe
+    scalar check instead of r4's always-on 1.9x wall — while a
+    two-walls-and-floor corridor world (translation along the corridor
+    unobservable; conditioning ~0) must engage immediately."""
+    # healthy: the standard room world
+    hseq = synthetic.make_sequence(
+        duration=8.0, lidar_hz=10.0, imu_hz=200.0, seed=4, n_lines=12,
+        n_per_line=500, render=False, fov_deg=360.0)
+    healthy = LIVOPipeline(lio_config(), slam_mode="only_lio")
+    healthy.enable_online_refine(keyframe_every=5, window=6, stride=2,
+                                 outer_iters=1, gn_iters=2, gate=0.05)
+    healthy.process(hseq)
+    assert healthy.refine_gate_skips > 0, "gate never evaluated"
+    assert healthy.refine_submits == 0, (
+        f"healthy run engaged the backend {healthy.refine_submits}x "
+        f"(conds {healthy._kf_conds})")
+
+    # degenerate: infinite corridor (two walls + floor), moving along it
+    corridor = [
+        synthetic.Plane(point=np.array([0.0, 0, -1.0]),
+                        normal=np.array([0, 0, 1.0]),
+                        u_axis=np.array([1.0, 0, 0]),
+                        v_axis=np.array([0, 1.0, 0])),
+        synthetic.Plane(point=np.array([0.0, 2.0, 0]),
+                        normal=np.array([0, -1.0, 0]),
+                        u_axis=np.array([1.0, 0, 0]),
+                        v_axis=np.array([0, 0, 1.0])),
+        synthetic.Plane(point=np.array([0.0, -2.0, 0]),
+                        normal=np.array([0, 1.0, 0]),
+                        u_axis=np.array([1.0, 0, 0]),
+                        v_axis=np.array([0, 0, 1.0])),
+    ]
+    traj = synthetic.WaypointTrajectory(
+        np.array([[0.0, 0, 0], [7.0, 0, 0], [14.0, 0, 0]]), duration=7.0)
+    dseq = synthetic.make_sequence(
+        duration=8.0, lidar_hz=10.0, imu_hz=200.0, seed=4, n_lines=12,
+        n_per_line=500, render=False, fov_deg=360.0, planes=corridor,
+        traj=traj, max_range=45.0)
+    degen = LIVOPipeline(lio_config(), slam_mode="only_lio")
+    degen.enable_online_refine(keyframe_every=5, window=6, stride=2,
+                               outer_iters=1, gn_iters=2, gate=0.05)
+    degen.process(dseq)
+    assert degen.refine_submits >= 1, (
+        f"degenerate corridor never engaged (conds {degen._kf_conds})")
+    assert min(degen._kf_conds) < 0.05 <= min(
+        healthy._kf_conds), (degen._kf_conds, healthy._kf_conds)

@@ -365,9 +365,9 @@ def test_checkpoint_preserves_backend_keyframes(tmp_path, seq):
     assert len(b._keyframes) == n_kf
     assert len(b.refined_keyframes) == n_ref
     assert b._last_refine_k == a._last_refine_k
-    for (t0, p0, s0), (t1, p1, s1) in zip(a._keyframes, b._keyframes):
-        assert t0 == t1
-        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+    for kf_a, kf_b in zip(a._keyframes, b._keyframes):
+        assert kf_a[0] == kf_b[0]
+        np.testing.assert_allclose(np.asarray(kf_a[1]), np.asarray(kf_b[1]))
     # resumed pipeline keeps refining
     b.poll(flush=True)
     b._finalize_host_views()

@@ -252,3 +252,117 @@ def test_descend_compacted_insert_matches_full():
     full_set = set(map(tuple, k_full[k_full[:, 0] != vm.EMPTY]))
     for k in k_tiny[occ_tiny]:
         assert tuple(k) in full_set
+
+
+def test_topology_states_and_pre_descent():
+    """r5 topology knobs (_ISPL legend in core/voxel_map.py):
+    - marginal planes (lam0 within pre_descend_margin of threshold) read
+      0.75, still serve matches, and their CHILDREN pre-accumulate;
+    - sticky_cut=True turns an enough-points non-plane voxel with
+      children into a permanent internal node (-1) whose stats freeze;
+    - match_finest prefers the deepest gated plane in the chain."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    # One flat patch (clear plane) + one thick noisy slab that fails the
+    # plane test at the coarse layer, both inside a single 1 m voxel
+    # footprint each.
+    flat = np.concatenate([
+        rng.uniform(0, 1, (n, 2)), 1e-3 * rng.standard_normal((n, 1))
+    ], axis=1)
+    slab = np.concatenate([
+        rng.uniform(2, 3, (n, 2)), 0.40 * rng.uniform(-1, 1, (n, 1))
+    ], axis=1)
+    # marginal: lam0 just above margin*threshold but below threshold;
+    # centered at z=0.5 so the whole distribution stays inside ONE voxel
+    # (a straddled boundary would truncate the variance per voxel)
+    marg_sigma = 0.04  # lam0 ~ 1.6e-3 in [0.5*0.0025, 0.0025)
+    marg = np.concatenate([
+        rng.uniform(4, 5, (n, 2)),
+        0.5 + marg_sigma * rng.standard_normal((n, 1))
+    ], axis=1)
+    pts = jnp.asarray(np.concatenate([flat, slab, marg]), jnp.float32)
+    var = jnp.tile(jnp.asarray([1e-6, 0, 0, 1e-6, 0, 1e-6]), (3 * n, 1))
+    valid = jnp.ones(3 * n, bool)
+
+    cfg = vm.VoxelMapConfig(voxel_size=1.0, n_layers=2, capacity_log2=12,
+                            planner_threshold=0.0025,
+                            layer_init_num=(5, 5), max_points_num=10 ** 9,
+                            pre_descend_margin=0.5)
+    m = vm.make_map(cfg)
+    for _ in range(3):  # descent gates read PRE-insert state
+        m = vm.update_map(m, pts, var, valid, cfg)
+
+    rec0 = np.asarray(m.rec[0])
+    keys0 = np.asarray(m.keys[0])
+    occ0 = keys0[:, 0] != vm.EMPTY
+
+    def col_at(xy):
+        k = np.floor(np.array([xy[0], xy[1], 0.0])).astype(np.int32)
+        row = np.nonzero(occ0 & (keys0 == k).all(1))[0]
+        assert len(row) == 1, (xy, len(row))
+        return rec0[row[0], vm._ISPL]
+
+    assert col_at((0.5, 0.5)) == 1.0          # solid plane
+    assert col_at((2.5, 2.5)) == 0.0          # enough + failed (refit mode)
+    assert abs(col_at((4.5, 4.5)) - 0.75) < 1e-6  # marginal plane
+
+    # children accumulated behind BOTH the failed and the marginal voxel
+    cnt1 = np.asarray(m.stats[1][:, 0])
+    keys1 = np.asarray(m.keys[1])
+    occ1 = keys1[:, 0] != vm.EMPTY
+
+    def child_count(xyz):
+        k = np.floor(np.asarray(xyz) / 0.5).astype(np.int32)
+        row = np.nonzero(occ1 & (keys1 == k).all(1))[0]
+        return cnt1[row[0]] if len(row) else 0.0
+
+    assert child_count((2.2, 2.2, -0.2)) > 0  # behind failed voxel
+    assert child_count((4.2, 4.2, 0.45)) > 0  # behind MARGINAL voxel (r5)
+    # but not behind the solid plane
+    k_solid = np.floor(np.array([0.5 * 2, 0.5 * 2, 0.0])).astype(np.int32)
+    row = np.nonzero(occ1 & (keys1 == k_solid).all(1))[0]
+    assert len(row) == 0 or cnt1[row[0]] == 0
+
+    # marginal planes still serve matches (is_plane col > 0.5)
+    q = jnp.asarray(np.concatenate([
+        rng.uniform(4, 5, (64, 2)), np.full((64, 1), 0.5)], axis=1),
+        jnp.float32)
+    vq = jnp.tile(jnp.asarray([1e-6, 0, 0, 1e-6, 0, 1e-6]), (64, 1))
+    mt = vm.match_planes(m, q, vq, jnp.ones(64, bool), cfg)
+    assert float(jnp.mean(mt.valid.astype(jnp.float32))) > 0.5
+
+    # sticky_cut: the failed coarse voxel becomes a permanent internal
+    # node (-1) and its stats freeze
+    cfg_s = cfg._replace(sticky_cut=True)
+    ms = vm.make_map(cfg_s)
+    for _ in range(2):
+        ms = vm.update_map(ms, pts, var, valid, cfg_s)
+    rec0s = np.asarray(ms.rec[0])
+    keys0s = np.asarray(ms.keys[0])
+    occ0s = keys0s[:, 0] != vm.EMPTY
+    k_slab = np.floor(np.array([2.5, 2.5, 0.0])).astype(np.int32)
+    row = np.nonzero(occ0s & (keys0s == k_slab).all(1))[0]
+    assert rec0s[row[0], vm._ISPL] == -1.0
+    cnt_before = float(np.asarray(ms.stats[0][row[0], 0]))
+    ms = vm.update_map(ms, pts, var, valid, cfg_s)
+    assert float(np.asarray(ms.stats[0][row[0], 0])) == cnt_before  # frozen
+
+    # match_finest: where a fitted child plane exists under a marginal
+    # parent, the deepest candidate wins (layer field reports it).
+    # Query exactly at fitted child-plane centers (any other point is
+    # legitimately 3-sigma-gated away from the child's thin fit).
+    rec1 = np.asarray(m.rec[1])
+    child_pl = occ1 & (rec1[:, vm._ISPL] > 0.5) & (
+        np.abs(keys1[:, 0] // 2 - 4) <= 1)  # children under the marg voxel
+    assert child_pl.any(), "no fitted child planes under the marginal voxel"
+    qc = jnp.asarray(rec1[child_pl][:, vm._PL0 + 4:vm._PL0 + 7])
+    vqc = jnp.tile(jnp.asarray([1e-6, 0, 0, 1e-6, 0, 1e-6]),
+                   (qc.shape[0], 1))
+    cfg_f = cfg._replace(match_finest=True)
+    mtf = vm.match_planes(m, qc, vqc, jnp.ones(qc.shape[0], bool), cfg_f)
+    lay = np.asarray(mtf.layer)[np.asarray(mtf.valid)]
+    assert (lay >= 1).any(), "finest-first never reached a child plane"
+    # coarse-first on the same queries stays at the (marginal) parent
+    mtc = vm.match_planes(m, qc, vqc, jnp.ones(qc.shape[0], bool), cfg)
+    layc = np.asarray(mtc.layer)[np.asarray(mtc.valid)]
+    assert (layc == 0).all()
