@@ -6,33 +6,46 @@ adaptive octree becomes L stacked open-addressing hash layers (layer l
 has voxel size v / 2^l), all carried with a leading layer axis and
 processed with one vmapped op set per frame.
 
-TPU storage design. Random gathers are latency-bound ops (~2 ms for 8k
-indices on a v5e regardless of width), so the layout minimizes *gather
-count* — and every scatter writes FULL rows of its array (column-slice
-scatters defeat XLA's in-place aliasing and copy the whole buffer; a
-fused single-array layout cost ~1 s/frame for exactly that reason):
+TPU storage design (r5 "rec-free" restructure). The map state is ONLY
+the raw running moments:
 
 - `keys (L, C, 3)` int32 open-addressing keys: linear probing makes the
   probe window contiguous, so a lookup gathers rows h..h+P-1 in ONE
   windowed gather (N, P, 3) and resolves the chain in registers;
-- `rec (L, C, 22)` per-voxel query record
-  [is_plane (0) | plane (1:9: normal,d,center,radius) |
-   plane_cov (9:21: cov_nn sym6, cov_qq sym6) | count (21)] — one gather
-  serves the whole candidate gating, and the count mirror lets the
-  insert path's pre-gating read count+is_plane in the same row;
-- running moments `stats (L, C, 16)` = [count | sum_p | sum_pp sym6 |
-  sum_C sym6] (voxel-local coordinates, so the Σpp^T - mean mean^T
-  cancellation is benign in float32), insert path only. The count rides
-  in column 0 of the SAME array so the whole insert+refit path costs
-  two gathers + one scatter-add per layer (random-access ops on this
-  link are latency-bound at ~1-2 ms each regardless of row width).
+- `stats (L, C, 16)` = [count | sum_p | sum_pp sym6 | sum_C sym6]
+  (voxel-local coordinates, so the Σpp^T - mean mean^T cancellation is
+  benign in float32).
+
+Earlier rounds ALSO materialized a per-voxel plane record `rec (C, 22)`
+(normal/d/center/radius/plane-cov/topology), refit by every insert with
+a batched eigendecomposition and a full-row scatter. Chained-slope
+measurement on the chip (scripts/micro_scatter.py / micro_derive.py, r5)
+showed that trade is upside down on this hardware: random-row SCATTERS
+cost ~80 ns/row while the entire plane derivation (closed-form 3x3 eig
+included) costs < 3 ns/lane in registers — the refit pipeline
+(stats read-back + eig + 22-wide rec scatter) was ~70 % of the insert's
+device time and bought nothing a read-time derivation doesn't. So:
+
+- INSERT is lookup + claim + ONE 16-wide scatter-add per layer
+  (no read-after-write, no second scatter);
+- every READER (match_planes / query_plane / tools) derives the plane
+  record from the gathered stats row in registers via
+  `_derive_from_stats` — the exact math the old refit ran, at the same
+  numerical values (same moments -> same record), always fresh.
 
 The reference's octree semantics map onto layer masks:
 - a layer-l voxel is *active* for matching iff it is a fitted plane AND
   its ancestors at layers < l exist but failed the plane test
   (voxel_map.cpp:137-161 init/cut, :292-305 find_correspond);
 - voxels freeze (stop accumulating) once count >= max_points_num
-  (:146-151, :240-245).
+  (:146-151, :240-245) — their stats rows stop changing, so the derived
+  plane freezes with them (identical to the old frozen rec);
+- the sticky CUT state (octo_state_=1, opt-in `sticky_cut`) is the one
+  history-dependent bit a derivation cannot reconstruct from moments —
+  it is encoded in-band as `count + CUT_MARK` (an idempotent 1-wide
+  scatter-max on the transition frame; cut voxels never accumulate or
+  serve matches afterwards, so the frozen moments never disagree with
+  the marked count).
 
 Plane-parameter covariance. The reference propagates per-point 3x3
 covariances through the eigen-decomposition Jacobian, summing
@@ -48,9 +61,8 @@ Carrying the reference's J_i through Σ_i and using Σ_i (p_i-c) = 0 and
     cov(q)      = C̄ / N            (q = plane center)
     cov(n, q)   = 0                 (cross terms vanish exactly)
 
-so the per-voxel state stays O(1) and the per-frame refit is one batched
-closed-form 3x3 eigendecomposition over touched voxels. σ_l gating then
-reads σ_l = a^T cov(n) a + n^T cov(q) n, a = p_w - center, matching
+so the per-voxel state stays O(1) and σ_l gating reads
+σ_l = a^T cov(n) a + n^T cov(q) n, a = p_w - center, matching
 J_nq = [p_w - center, -n] of the reference (:732-736).
 """
 
@@ -63,7 +75,8 @@ from ..ops import eig3, voxel_hash
 
 EMPTY = voxel_hash.EMPTY
 
-# rec layout
+# Derived plane-record layout (the read-time register record; column
+# constants shared by _gate and the tools that consume derive_rec):
 _ISPL = 0                # plane/topology state, one float column:
 #   1.0  solid fitted plane (serves matches; chain stops here)
 #   0.75 MARGINAL fitted plane: lam0 within pre_descend_margin of the
@@ -80,17 +93,19 @@ _ISPL = 0                # plane/topology state, one float column:
 #  -1.0  CUT: permanently an internal node (reference octo_state_=1 —
 #        a node that failed the plane test with enough points never
 #        refits, never serves matches, and routes points to children,
-#        voxel_map.cpp:219-268). Sticky: stats stop accumulating and the
-#        row is never rewritten. r4's non-sticky refit let a gently
+#        voxel_map.cpp:219-268). Sticky: encoded as count >= CUT_MARK;
+#        stats stop accumulating. r4's non-sticky refit let a gently
 #        curved voxel oscillate back to is_plane and mask its children
-#        with a biased coarse fit — the measured 13x outdoor ATE gap at
-#        the 2 m MARS operating point (VERDICT r4 missing #2).
+#        with a biased coarse fit — measured WORSE than the flat-layer
+#        refit (see VoxelMapConfig.sticky_cut), so sticky is opt-in.
 _PL0, _PL1 = 1, 9        # plane: normal(3), d, center(3), radius
 _PC0, _PC1 = 9, 21       # plane_cov: cov_nn sym6, cov_qq sym6
-_CNT = 21                # point count mirror (pre-insert gating reads it
-#                          together with is_plane in ONE row gather)
+_CNT = 21                # point count (mark-stripped)
 REC_W = 22
 STATS_W = 16  # [count | sum_p(3) | sum_pp sym6 | sum_C sym6]
+
+CUT_MARK = 8388608.0  # 2^23: exact in f32; count + mark stays exact
+# (counts are bounded by max_points_num + one frame's batch << 2^23)
 
 
 def sym6(m):
@@ -124,8 +139,18 @@ def quad6(s, v):
 
 class VoxelMap(NamedTuple):
     keys: jnp.ndarray  # (L, C, 3) int32, EMPTY-marked free slots
-    rec: jnp.ndarray  # (L, C, 21) per-voxel query record
-    stats: jnp.ndarray  # (L, C, 16) [count | running moments] (insert path)
+    stats: jnp.ndarray  # (L, C, 16) [count | running moments]
+    rec: jnp.ndarray  # (L, C, 22) derived plane-record CACHE — a pure
+    # function of (keys, stats), refreshed by ONE full-table streaming
+    # derivation at the end of every mutation (update_map / slide_map),
+    # never by per-lane scatters. Readers gather it like any table; the
+    # invariant is rec == derive_rec(keys, stats) at every API boundary.
+    # Measured (scripts/micro_match.py): the full-table stream costs
+    # 0.78 ms at L=3, C=2^18 — vs ~1.1 ms EXTRA per match call when the
+    # record is derived in registers behind every gather (the derive
+    # math is free, but re-deriving inside the LIO while_loop roughly
+    # doubled the op chain per iteration), and vs ~4 ms/insert for the
+    # r4 per-lane refit scatters this cache replaces.
 
 
 class VoxelMapConfig(NamedTuple):
@@ -141,7 +166,7 @@ class VoxelMapConfig(NamedTuple):
     # >= 1 only for points whose layer-0 voxel failed the plane test,
     # compacted to this many lanes (the octree only subdivides non-planar
     # voxels, so descending points are a small fraction; random-access
-    # cost is per-row, so compaction cuts the fine layers' lookup/refit
+    # cost is per-row, so compaction cuts the fine layers' scatter
     # traffic ~(N/descend_compact)x). Overflow lanes skip the fine layers
     # this frame.
     planner_threshold: float = 0.0025  # min_eigen_value
@@ -191,8 +216,8 @@ def make_map(cfg: VoxelMapConfig) -> VoxelMap:
     L, C = cfg.n_layers, 1 << cfg.capacity_log2
     return VoxelMap(
         keys=jnp.full((L, C, 3), EMPTY, jnp.int32),
-        rec=jnp.zeros((L, C, REC_W), jnp.float32),
         stats=jnp.zeros((L, C, STATS_W), jnp.float32),
+        rec=jnp.zeros((L, C, REC_W), jnp.float32),
     )
 
 
@@ -208,6 +233,12 @@ def layer_init_nums(cfg: VoxelMapConfig) -> jnp.ndarray:
         for l in range(cfg.n_layers)
     ]
     return jnp.asarray(nums, jnp.float32)
+
+
+def layer_has_kids(cfg: VoxelMapConfig) -> jnp.ndarray:
+    return jnp.asarray(
+        [1.0 if l < cfg.n_layers - 1 else 0.0 for l in range(cfg.n_layers)],
+        jnp.float32)
 
 
 def _bucket(keys, capacity):
@@ -249,48 +280,70 @@ def _lookup_window(keys_tab, keys, probes: int, claim_rounds: int = None):
     return slot, found, empty_rows
 
 
+def _compact_lanes(mask, size: int):
+    """Indices of the first `size` True lanes (ascending), n-filled —
+    the jnp.nonzero(mask, size=, fill_value=n) contract, computed as
+    cumsum + one 1-wide scatter. nonzero's size= path lowers to a sort
+    on TPU (measured ~10x this cost at 8k lanes); the cumsum keeps the
+    same ascending-lane order the claim protocol relies on."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dst = jnp.where(mask & (pos < size), pos, size)
+    return jnp.full((size,), n, jnp.int32).at[dst].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
 _CLAIM_ROUNDS = 3  # snapshot-empty claim rounds per insert (losing keys
 # re-insert on the next frame that observes the voxel; 2 rounds measured
 # only ~0.7 ms cheaper and pushed single-shot insert drops past 2%)
 
 
 def _claim_rounds(keys_tab, keys, targets, unresolved):
-    """Race-free claim over the lookup-snapshot empties: round k bids a
-    lane ticket (scatter-max) for the lane's k-th snapshot-empty window
-    row; winners write their key; one verify gather resolves winners AND
-    duplicate-key lanes (the winning duplicate wrote the same key).
-    Rounds > 1 first re-check the target row is still EMPTY (an earlier
-    round may have filled it with another key). Claiming snapshot-empties
-    in order preserves the lookup invariant (probes stop at the first
-    EMPTY row): a lane only advances to its k-th empty after its earlier
-    empties were filled by other keys. Lanes that lose every round stay
-    -1 and re-insert on the next frame that observes the voxel. Returns
-    (keys_tab, slot (N,) or -1)."""
+    """Race-free claim over the lookup-snapshot empties, restructured
+    (r5) to 2 random-access ops per round + ONE deferred key write.
+
+    A PERSISTENT per-row claims table carries the winning priority
+    ticket across rounds; round k's ticket is (R - k) * n + lane, so an
+    earlier round's winner always outranks any later bid (a claimed row
+    can never be stolen). Per round each candidate lane (1) scatter-max
+    bids its ticket on its k-th snapshot-empty window row and (2)
+    gathers the row's winning ticket back. The winner's LANE is
+    ticket % n, so a single batch-local key compare resolves winners
+    AND duplicate-key lanes (a twin that lost to its own key's winner)
+    without re-reading keys_tab — the serializing read-after-write
+    chain of the r1-r4 protocol (still-empty gather, key write, verify
+    gather per round: ~5 ops/round) is gone. Keys are written once at
+    the end: every resolved lane scatter-sets its key to its slot
+    (duplicates write identical values — idempotent).
+
+    The lookup invariant (probes stop at the first EMPTY row) is
+    preserved exactly as before: a lane only advances to its k-th empty
+    after losing its earlier ones, and losing a row implies another
+    lane won it — and every scatter-max winner necessarily resolves
+    (its own twin check passes) and writes the row this frame. Lanes
+    that lose every round stay -1 and re-insert on the next frame that
+    observes the voxel. Returns (keys_tab, slot (N,) or -1)."""
     C = keys_tab.shape[0]
     n = keys.shape[0]
+    R = targets.shape[1]
     lane = jnp.arange(n, dtype=jnp.int32)
     slot_out = jnp.full((n,), -1, jnp.int32)
-    for k in range(targets.shape[1]):
+    claims = jnp.full((C,), -1, jnp.int32)
+    for k in range(R):
         target = targets[:, k]
         cand = unresolved & (target >= 0)
-        sg = jnp.where(cand, target, 0)
-        if k > 0:
-            still_empty = keys_tab[sg][:, 0] == EMPTY
-            # A prior round may have parked THIS key here (duplicate lane
-            # that lost the ticket but whose twin won): re-check match.
-            refound = cand & jnp.all(keys_tab[sg] == keys, axis=-1)
-            slot_out = jnp.where(refound, target, slot_out)
-            unresolved = unresolved & ~refound
-            cand = cand & still_empty & unresolved
-            sg = jnp.where(cand, target, 0)
         s = jnp.where(cand, target, C)
-        ticket = jnp.where(cand, lane, -1)
-        claims = jnp.full((C,), -1, jnp.int32).at[s].max(ticket, mode="drop")
-        won = cand & (claims[sg] == lane)
-        keys_tab = keys_tab.at[jnp.where(won, target, C)].set(keys, mode="drop")
-        resolved = cand & jnp.all(keys_tab[sg] == keys, axis=-1)
+        ticket = jnp.int32((R - k) * n) + lane
+        claims = claims.at[s].max(jnp.where(cand, ticket, -1), mode="drop")
+        row_ticket = claims[jnp.where(cand, target, 0)]
+        win_lane = jnp.where(row_ticket >= 0, row_ticket % n, 0)
+        resolved = cand & (row_ticket >= 0) & jnp.all(
+            keys[win_lane] == keys, axis=-1)
         slot_out = jnp.where(resolved, target, slot_out)
         unresolved = unresolved & ~resolved
+    keys_tab = keys_tab.at[
+        jnp.where(slot_out >= 0, slot_out, C)
+    ].set(keys, mode="drop")
     return keys_tab, slot_out
 
 
@@ -315,7 +368,7 @@ def _insert(keys_tab, keys, valid, probes: int, compact_to: int = 0,
 
     if compact_to and compact_to < n:
         u = compact_to
-        (lane_idx,) = jnp.nonzero(unresolved, size=u, fill_value=n)
+        lane_idx = _compact_lanes(unresolved, u)
         li = jnp.minimum(lane_idx, n - 1)
         cu = lane_idx < n
         keys_tab, cslot = _claim_rounds(keys_tab, keys[li], empty_rows[li], cu)
@@ -335,7 +388,7 @@ def _claim_compacted(keys_tab, keys, targets, unres, compact_to: int):
     N = keys.shape[0]
     if compact_to and compact_to < N:
         u = compact_to
-        (lane_idx,) = jnp.nonzero(unres, size=u, fill_value=N)
+        lane_idx = _compact_lanes(unres, u)
         li = jnp.minimum(lane_idx, N - 1)
         cu = lane_idx < N
         keys_tab, cslot = _claim_rounds(keys_tab, keys[li], targets[li], cu)
@@ -347,87 +400,141 @@ def _claim_compacted(keys_tab, keys, targets, unres, compact_to: int):
     return keys_tab, slot_add
 
 
-def _refit_layer(keys, stats, rec, slots_l, valid_lane, frozen_l, vsize,
-                 init_num, pts, var6, cfg: VoxelMapConfig,
-                 cut_l=None, has_kids=None):
-    """Phase 3 of the insert for ONE layer: freeze/cut gates, one 16-wide
-    scatter-add of the running moments, batched closed-form refit
-    (init_plane, voxel_map.cpp:55-135). cut_l: lanes whose voxel is a
-    permanent internal node (no accumulation, row never rewritten).
-    has_kids: 1.0 where this layer has a finer layer below it (cut and
-    marginal states only exist there). Returns (stats, rec)."""
+def _derive_from_stats(st16, keys, vsize, init_num, has_kids,
+                       cfg: VoxelMapConfig):
+    """Plane record from a raw moments row (the math the r4 rec refit
+    ran per insert — init_plane, voxel_map.cpp:55-135 — evaluated as one
+    fused elementwise pass).
+
+    FULLY UNPACKED on purpose: every intermediate is a plain (...,)
+    float column and the only layout op is the final stack. The packed
+    form (stack/cross/einsum on (..., 3, 3) tensors) defeats XLA's
+    elementwise fusion — at full-table scale (L*C = 786k rows) it
+    measured ~100 ms of unfused HBM streams where this form runs at the
+    output-write floor (see ops/eig3.eigh3_cols).
+
+    st16: (..., 16) gathered stats rows; keys: (..., 3) the voxel keys
+    the rows were addressed by; vsize/init_num/has_kids: per-layer
+    scalars (broadcastable). Returns (..., 22) rec-layout rows (see the
+    _ISPL column legend)."""
+    raw = st16[..., 0]
+    cut = raw >= CUT_MARK if cfg.sticky_cut else jnp.zeros(
+        raw.shape, bool)
+    n = jnp.where(cut, raw - CUT_MARK, raw)
+    n_safe = jnp.maximum(n, 1.0)
+    inv_n = 1.0 / n_safe
+    mx = st16[..., 1] * inv_n
+    my = st16[..., 2] * inv_n
+    mz = st16[..., 3] * inv_n
+    # cov = sum_pp / n - mean mean^T (+ 1e-9 I for conditioning)
+    cxx = st16[..., 4] * inv_n - mx * mx + 1e-9
+    cxy = st16[..., 5] * inv_n - mx * my
+    cxz = st16[..., 6] * inv_n - mx * mz
+    cyy = st16[..., 7] * inv_n - my * my + 1e-9
+    cyz = st16[..., 8] * inv_n - my * mz
+    czz = st16[..., 9] * inv_n - mz * mz + 1e-9
+    lam0, lam1, lam2, v0, v1, v2 = eig3.eigh3_cols(
+        cxx, cxy, cxz, cyy, cyz, czz)
+    enough = n > init_num
+    fits = lam0 < cfg.planner_threshold
+    marginal = (
+        fits & (lam0 > cfg.planner_threshold * cfg.pre_descend_margin)
+        & (has_kids > 0.5)
+    ) if cfg.pre_descend_margin < 1.0 else jnp.zeros_like(enough)
+    is_plane = jnp.where(
+        cut, -1.0,
+        jnp.where(fits & enough, jnp.where(marginal, 0.75, 1.0), 0.0))
+
+    qx = (keys[..., 0].astype(jnp.float32) + 0.5) * vsize + mx
+    qy = (keys[..., 1].astype(jnp.float32) + 0.5) * vsize + my
+    qz = (keys[..., 2].astype(jnp.float32) + 0.5) * vsize + mz
+    nx, ny, nz = v0
+    d = -(nx * qx + ny * qy + nz * qz)
+    radius = jnp.sqrt(jnp.clip(lam2, 0.0, None))
+
+    # cov(n) = sigma2 * (d1 u1 u1^T + d2 u2 u2^T), sym6 components
+    cb_xx = st16[..., 10] * inv_n
+    cb_xy = st16[..., 11] * inv_n
+    cb_xz = st16[..., 12] * inv_n
+    cb_yy = st16[..., 13] * inv_n
+    cb_yz = st16[..., 14] * inv_n
+    cb_zz = st16[..., 15] * inv_n
+    sigma2 = (cb_xx + cb_yy + cb_zz) / 3.0
+    dmin = 1e-6
+    d1 = (lam1 + lam0) / (n_safe * jnp.maximum((lam0 - lam1) ** 2, dmin))
+    d2 = (lam2 + lam0) / (n_safe * jnp.maximum((lam0 - lam2) ** 2, dmin))
+    u1x, u1y, u1z = v1
+    u2x, u2y, u2z = v2
+    s1, s2 = sigma2 * d1, sigma2 * d2
+    nn_xx = s1 * u1x * u1x + s2 * u2x * u2x
+    nn_xy = s1 * u1x * u1y + s2 * u2x * u2y
+    nn_xz = s1 * u1x * u1z + s2 * u2x * u2z
+    nn_yy = s1 * u1y * u1y + s2 * u2y * u2y
+    nn_yz = s1 * u1y * u1z + s2 * u2y * u2z
+    nn_zz = s1 * u1z * u1z + s2 * u2z * u2z
+    return jnp.stack(
+        [
+            is_plane,
+            nx, ny, nz, d, qx, qy, qz, radius,
+            nn_xx, nn_xy, nn_xz, nn_yy, nn_yz, nn_zz,
+            cb_xx * inv_n, cb_xy * inv_n, cb_xz * inv_n,
+            cb_yy * inv_n, cb_yz * inv_n, cb_zz * inv_n,
+            n,
+        ],
+        axis=-1,
+    )  # (..., 22)
+
+
+def derive_rec(vmap_state: VoxelMap, cfg: VoxelMapConfig) -> jnp.ndarray:
+    """(L, C, 22) derived plane records for the WHOLE table (tools /
+    tests / exporters; the hot paths derive per gathered row instead).
+    Unoccupied slots carry n=0 -> is_plane 0; callers mask by
+    `keys[..., 0] != EMPTY` when they need occupancy."""
+    vs = layer_voxel_sizes(cfg)
+    inits = layer_init_nums(cfg)
+    hk = layer_has_kids(cfg)
+    return jax.vmap(
+        lambda k, st, v, i, h: _derive_from_stats(st, k, v, i, h, cfg)
+    )(vmap_state.keys, vmap_state.stats, vs, inits, hk)
+
+
+def _refresh(keys, stats, cfg: VoxelMapConfig) -> VoxelMap:
+    """Rebuild the rec cache from (keys, stats) with ONE full-table
+    streaming derivation (no scatters; ~0.8 ms at L=3, C=2^18 on chip —
+    scripts/micro_match.py). Every mutation path ends here."""
+    m = VoxelMap(keys=keys, stats=stats,
+                 rec=jnp.zeros((keys.shape[0], keys.shape[1], REC_W),
+                               jnp.float32))
+    return m._replace(rec=derive_rec(m, cfg))
+
+
+def _accumulate_layer(keys, stats, slots_l, ok, vsize, pts, var6):
+    """The ONE insert write for a layer: a 16-wide scatter-add of the
+    running moments for lanes passing the freeze/cut/validity gates.
+    Returns stats."""
     N = pts.shape[0]
     C = stats.shape[0]
-    if cut_l is None:
-        cut_l = jnp.zeros((N,), bool)
-    if has_kids is None:
-        has_kids = jnp.asarray(0.0, jnp.float32)
-    ok = valid_lane & (slots_l >= 0) & ~frozen_l & ~cut_l
     w = jnp.where(ok, slots_l, C)
     voxel_center = (keys.astype(jnp.float32) + 0.5) * vsize
     p_local = pts - voxel_center
     pp6 = sym6(p_local[:, :, None] * p_local[:, None, :])
     one_col = jnp.ones((N, 1), jnp.float32)
     contrib = jnp.concatenate([one_col, p_local, pp6, var6], axis=-1)
-    stats = stats.at[w].add(contrib, mode="drop")
+    return stats.at[w].add(contrib, mode="drop")
 
-    s = jnp.where(ok, slots_l, 0)
-    st16 = stats[s]  # post-update count + moments in one gathered row
-    n = st16[:, 0]
-    n_safe = jnp.maximum(n, 1.0)
-    st = st16[:, 1:]
-    mean_local = st[:, 0:3] / n_safe[:, None]
-    cov6 = st[:, 3:9] / n_safe[:, None] - sym6(
-        mean_local[:, :, None] * mean_local[:, None, :]
-    )
-    cov = sym6_to_mat(cov6) + jnp.eye(3) * 1e-9
-    evals, evecs = eig3.eigh3(cov)  # ascending
-    lam0, lam1, lam2 = evals[:, 0], evals[:, 1], evals[:, 2]
-    enough = n > init_num
-    fits = lam0 < cfg.planner_threshold
-    # Topology transitions (see the _ISPL legend at the top):
-    #   enough & ~fits & has_kids     -> CUT (-1, sticky)
-    #   enough & fits & near threshold-> MARGINAL plane (0.75)
-    #   enough & fits                 -> solid plane (1.0)
-    #   otherwise                     -> undecided (0.0)
-    cut_new = enough & ~fits & (has_kids > 0.5) if cfg.sticky_cut \
-        else jnp.zeros_like(enough)
-    marginal = (
-        fits & (lam0 > cfg.planner_threshold * cfg.pre_descend_margin)
-        & (has_kids > 0.5)
-    ) if cfg.pre_descend_margin < 1.0 else jnp.zeros_like(enough)
-    is_plane = jnp.where(
-        cut_new, -1.0,
-        jnp.where(fits & enough, jnp.where(marginal, 0.75, 1.0), 0.0))
 
-    center_w = voxel_center + mean_local
-    normal = evecs[:, :, 0]
-    d = -jnp.sum(normal * center_w, axis=-1)
-    radius = jnp.sqrt(jnp.clip(lam2, 0.0, None))
-
-    C_bar6 = st[:, 9:15] / n_safe[:, None]
-    sigma2 = (C_bar6[:, 0] + C_bar6[:, 3] + C_bar6[:, 5]) / 3.0
-    dmin = 1e-6
-    d1 = (lam1 + lam0) / (n_safe * jnp.maximum((lam0 - lam1) ** 2, dmin))
-    d2 = (lam2 + lam0) / (n_safe * jnp.maximum((lam0 - lam2) ** 2, dmin))
-    D = jnp.zeros_like(evals).at[:, 1].set(d1).at[:, 2].set(d2)
-    cov_nn = sigma2[:, None, None] * jnp.einsum(
-        "nik,nk,njk->nij", evecs, D, evecs
-    )
-    rec_update = jnp.concatenate(
-        [
-            is_plane[:, None],
-            normal, d[:, None], center_w, radius[:, None],
-            sym6(cov_nn), C_bar6 / n_safe[:, None],
-            n[:, None],  # count mirror for next frame's gating
-        ],
-        axis=-1,
-    )  # (N, 22) — full rec rows
-    # Written for EVERY touched voxel (not just fitted ones): the
-    # count mirror must stay fresh; below-threshold rows carry
-    # is_plane=0 so their plane fields are never consumed.
-    rec = rec.at[jnp.where(ok, slots_l, C)].set(rec_update, mode="drop")
-    return stats, rec
+def _mark_cut(stats, slots_l, should_cut, cnt_pre):
+    """Sticky-cut transition (octo_state_=1): idempotent 1-wide
+    scatter-max of count -> cnt_pre + CUT_MARK on lanes whose voxel just
+    became a permanent internal node. Every lane of the same voxel
+    gathered the same cnt_pre, so duplicate lanes write the same value
+    (max = idempotent). Runs AFTER the scatter-add, so the mark also
+    freezes the count at its pre-insert value — cut voxels never serve
+    planes, so the moment/count mismatch of the transition frame is
+    never consumed."""
+    C = stats.shape[0]
+    w = jnp.where(should_cut, slots_l, C)
+    return stats.at[w, 0].max(cnt_pre + CUT_MARK, mode="drop")
 
 
 def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
@@ -444,7 +551,7 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     subdivision takes effect one observation after the voxel crosses the
     threshold, instead of within the same insert as the reference's
     recursion. The payoff is that no layer's insert depends on another
-    layer's refit: all L layers run as ONE vmapped op set, so the
+    layer's state: all L layers run as ONE vmapped op set, so the
     latency-bound random-access count is per-frame, not per-layer.
 
     SPMD contract: map *reads* (match_planes/query_plane) accept
@@ -464,6 +571,7 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     var_w6 = var_w if var_w.ndim == 2 else sym6(var_w)
     vs = layer_voxel_sizes(cfg)
     inits = layer_init_nums(cfg)
+    hk = layer_has_kids(cfg)
     L, N = cfg.n_layers, pts_w.shape[0]
     compact_to = cfg.insert_compact if compact else 0
     descend = cfg.descend_compact if compact else 0
@@ -475,12 +583,13 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     ).astype(jnp.int32)  # (L, N, 3)
 
     # Phase 1 — one vmapped windowed lookup over all layers, plus the
-    # pre-insert voxel meta (count, is_plane) the gates need.
+    # pre-insert voxel meta (count + is_plane, one row of the rec cache)
+    # the gates need.
     slot0, found0, empty_rows = jax.vmap(
         lambda tab, k: _lookup_window(tab, k, cfg.probes)
     )(vmap_state.keys, keys_L)
     sg = jnp.where(found0, slot0, 0)
-    pre_rec = jax.vmap(lambda rc, s: rc[s])(vmap_state.rec, sg)  # (L, N, 22)
+    pre_rec = jax.vmap(lambda rc, s: rc[s])(vmap_state.rec, sg)  # (L,N,22)
     cnt_pre = jnp.where(found0, pre_rec[:, :, _CNT], 0.0)
     col_pre = jnp.where(found0, pre_rec[:, :, _ISPL], 0.0)
     cut_pre = found0 & (col_pre < -0.5)
@@ -504,18 +613,25 @@ def update_map(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w: jnp.ndarray,
     )(vmap_state.keys, keys_L, empty_rows, unresolved)
     slots = jnp.where(found0, slot0, jnp.where(unresolved, slot_add, -1))
 
-    # Phase 3 — freeze gate, one 16-wide scatter-add, batched refit
-    # (init_plane, voxel_map.cpp:55-135), vmapped over layers.
+    # Phase 3 — freeze/cut gates + ONE 16-wide scatter-add per layer.
     frozen = cnt_pre >= cfg.max_points_num  # claimed slots have cnt_pre 0
-    has_kids = jnp.asarray(
-        [1.0 if l < L - 1 else 0.0 for l in range(L)], jnp.float32)
-    stats_new, rec_new = jax.vmap(
-        lambda k, st, rc, sl, vl, fr, ct, hk, v, i: _refit_layer(
-            k, st, rc, sl, vl, fr, v, i, pts_w, var_w6, cfg,
-            cut_l=ct, has_kids=hk)
-    )(keys_L, vmap_state.stats, vmap_state.rec, slots, valid_L, frozen,
-      cut_pre, has_kids, vs, inits)
-    return VoxelMap(keys=keys_new, rec=rec_new, stats=stats_new)
+    ok = valid_L & (slots >= 0) & ~frozen & ~cut_pre
+    stats_new = jax.vmap(
+        lambda k, st, sl, o, v: _accumulate_layer(k, st, sl, o, v,
+                                                  pts_w, var_w6)
+    )(keys_L, vmap_state.stats, slots, ok, vs)
+    if cfg.sticky_cut:
+        # Transition detection from the pre-insert derivation: undecided
+        # (col 0) with enough points at a layer that has children =
+        # enough & ~fits & has_kids (fits & enough would have derived
+        # 1.0/0.75). One frame later than the reference's in-recursion
+        # cut — same lag as the descent gate above.
+        should_cut = (found0 & (jnp.abs(col_pre) < 0.25)
+                      & (cnt_pre > inits[:, None]) & (hk[:, None] > 0.5)
+                      & ~cut_pre)
+        stats_new = jax.vmap(_mark_cut)(stats_new, slots, should_cut,
+                                        cnt_pre)
+    return _refresh(keys_new, stats_new, cfg)
 
 
 def _update_map_descend(vmap_state: VoxelMap, pts_w, var_w6, valid,
@@ -529,6 +645,7 @@ def _update_map_descend(vmap_state: VoxelMap, pts_w, var_w6, valid,
     frame and contribute again on the next observation."""
     vs = layer_voxel_sizes(cfg)
     inits = layer_init_nums(cfg)
+    hk = layer_has_kids(cfg)
     L, N = cfg.n_layers, pts_w.shape[0]
 
     # ---- layer 0 on all N lanes ----
@@ -544,15 +661,18 @@ def _update_map_descend(vmap_state: VoxelMap, pts_w, var_w6, valid,
         vmap_state.keys[0], keys0, empty0, unres0, compact_to)
     slots0 = jnp.where(found0, slot0, jnp.where(unres0, slot_add0, -1))
     frozen0 = cnt0 >= cfg.max_points_num
-    stats0, rec0 = _refit_layer(
-        keys0, vmap_state.stats[0], vmap_state.rec[0], slots0, valid,
-        frozen0, vs[0], inits[0], pts_w, var_w6, cfg,
-        cut_l=cut0, has_kids=jnp.asarray(1.0, jnp.float32))
+    ok0 = valid & (slots0 >= 0) & ~frozen0 & ~cut0
+    stats0 = _accumulate_layer(keys0, vmap_state.stats[0], slots0, ok0,
+                               vs[0], pts_w, var_w6)
+    if cfg.sticky_cut:
+        should0 = (found0 & (jnp.abs(col0) < 0.25) & (cnt0 > inits[0])
+                   & ~cut0)
+        stats0 = _mark_cut(stats0, slots0, should0, cnt0)
 
     # ---- compact descending lanes (everything except solid planes —
     # cut, marginal, and enough-but-undecided; see the _ISPL legend) ----
     sub = valid & found0 & (cnt0 > inits[0]) & (col0 < 0.9)
-    (lane,) = jnp.nonzero(sub, size=D, fill_value=N)
+    lane = _compact_lanes(sub, D)
     li = jnp.minimum(lane, N - 1)
     sub_valid = lane < N
     pts_s = pts_w[li]
@@ -585,21 +705,22 @@ def _update_map_descend(vmap_state: VoxelMap, pts_w, var_w6, valid,
     )(vmap_state.keys[1:], keys_S, emptyS, unresS)
     slotsS = jnp.where(foundS, slotS, jnp.where(unresS, slot_addS, -1))
     frozenS = cntS >= cfg.max_points_num
-    has_kidsS = jnp.asarray(
-        [1.0 if l < L - 1 else 0.0 for l in range(1, L)], jnp.float32)
-    statsS, recS = jax.vmap(
-        lambda k, st, rc, sl, vl, fr, ct, hk, v, i, p, vr: _refit_layer(
-            k, st, rc, sl, vl, fr, v, i, p, vr, cfg, cut_l=ct, has_kids=hk)
-    )(keys_S, vmap_state.stats[1:], vmap_state.rec[1:], slotsS, valid_S,
-      frozenS, cutS, has_kidsS, vs[1:], inits[1:],
+    okS = valid_S & (slotsS >= 0) & ~frozenS & ~cutS
+    statsS = jax.vmap(
+        lambda k, st, sl, o, v, p, vr: _accumulate_layer(k, st, sl, o, v,
+                                                         p, vr)
+    )(keys_S, vmap_state.stats[1:], slotsS, okS, vs[1:],
       jnp.broadcast_to(pts_s, (L - 1,) + pts_s.shape),
       jnp.broadcast_to(var_s, (L - 1,) + var_s.shape))
+    if cfg.sticky_cut:
+        shouldS = (foundS & (jnp.abs(colS) < 0.25)
+                   & (cntS > inits[1:, None]) & (hk[1:, None] > 0.5)
+                   & ~cutS)
+        statsS = jax.vmap(_mark_cut)(statsS, slotsS, shouldS, cntS)
 
-    return VoxelMap(
-        keys=jnp.concatenate([keys_tab0[None], keysS_new]),
-        rec=jnp.concatenate([rec0[None], recS]),
-        stats=jnp.concatenate([stats0[None], statsS]),
-    )
+    return _refresh(
+        jnp.concatenate([keys_tab0[None], keysS_new]),
+        jnp.concatenate([stats0[None], statsS]), cfg)
 
 
 class PlaneMatch(NamedTuple):
@@ -622,7 +743,7 @@ class PlaneMatch(NamedTuple):
 
 
 def _gate(rec, found, pts_w, var_w6, cfg: VoxelMapConfig):
-    """Candidate gating from a query record (build_single_residual,
+    """Candidate gating from a derived plane record (build_single_residual,
     voxel_map.cpp:713-767). Pure register math — no memory access."""
     is_pl = (rec[:, _ISPL] > 0.5) & found
     n = rec[:, _PL0:_PL0 + 3]
@@ -659,7 +780,8 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
                  valid: jnp.ndarray, cfg: VoxelMapConfig) -> PlaneMatch:
     """Point-to-plane correspondence search (BuildResidualListOMP +
     build_single_residual, voxel_map.cpp:643-786) as fixed-shape batch ops:
-    one windowed gather per (layer-chain + neighbor) candidate set, gating
+    one windowed gather per (layer-chain + neighbor) candidate set, the
+    plane record derived from the gathered moments in registers, gating
     in registers, max-probability selection.
 
     Per point we gate up to n_layers + 1 (+ n_layers - 1 with
@@ -701,7 +823,7 @@ def match_planes(vmap_state: VoxelMap, pts_w: jnp.ndarray, var_w,
 
     idx = jnp.asarray(list(range(L)) + [0] + sib_layers)
     keys_tabs = vmap_state.keys[idx]  # (L+1+S, C, 3)
-    recs = vmap_state.rec[idx]  # (L+1+S, C, 21)
+    recs = vmap_state.rec[idx]  # (L+1+S, C, 22)
 
     def one(keys_tab, rec_tab, keys):
         slot, found, _ = _lookup_window(keys_tab, keys, cfg.probes)
@@ -799,7 +921,8 @@ def query_plane(vmap_state: VoxelMap, pts_w: jnp.ndarray, cfg: VoxelMapConfig):
         )
         return found, is_pl, rec[:, _PL0:_PL1], sigma
 
-    exists, is_pl, pl, sigma = jax.vmap(one)(vmap_state.keys, vmap_state.rec, keys_L)
+    exists, is_pl, pl, sigma = jax.vmap(one)(
+        vmap_state.keys, vmap_state.rec, keys_L)
     found = jnp.zeros(n_pts, bool)
     out_plane = jnp.zeros((n_pts, 8))
     out_sigma = jnp.zeros(n_pts)
@@ -820,7 +943,8 @@ def map_keys(vmap_state: VoxelMap, layer: int) -> jnp.ndarray:
 
 
 def map_count(vmap_state: VoxelMap, layer: int) -> jnp.ndarray:
-    return vmap_state.stats[layer][:, 0].astype(jnp.int32)
+    raw = vmap_state.stats[layer][:, 0]
+    return jnp.where(raw >= CUT_MARK, raw - CUT_MARK, raw).astype(jnp.int32)
 
 
 def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
@@ -829,7 +953,7 @@ def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
     the current position (mapSliding/clearMemOutOfMap,
     voxel_map.cpp:924-971). Open addressing cannot delete slots in place
     (probe chains would break), so each layer is *rebuilt*: surviving keys
-    re-inserted into a fresh table and their rows gathered across.
+    re-inserted into a fresh table and their stats rows gathered across.
     Intended to be called rarely (when the pose moved > sliding_thresh,
     like the reference)."""
     vsizes = layer_voxel_sizes(cfg)
@@ -838,7 +962,7 @@ def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
     )
     C = vmap_state.stats.shape[1]
 
-    def one(keys_tab, rec, stats, vsize, half):
+    def one(keys_tab, stats, vsize, half):
         ctr = jnp.floor(center_pos / vsize).astype(jnp.int32)
         occupied = keys_tab[:, 0] != EMPTY
         keep = occupied & jnp.all(jnp.abs(keys_tab - ctr) <= half, axis=-1)
@@ -849,14 +973,9 @@ def slide_map(vmap_state: VoxelMap, center_pos: jnp.ndarray,
         fresh, new_slots = _insert(fresh, keys_tab, keep, cfg.probes,
                                    compact_to=0, claim_rounds=cfg.probes)
         dst = jnp.where(keep & (new_slots >= 0), new_slots, C)
+        return fresh, jnp.zeros_like(stats).at[dst].set(stats, mode="drop")
 
-        def move(arr):
-            return jnp.zeros_like(arr).at[dst].set(arr, mode="drop")
-
-        return fresh, move(rec), move(stats)
-
-    keys, rec, stats = jax.vmap(one)(
-        vmap_state.keys, vmap_state.rec, vmap_state.stats,
-        vsizes, halves,
+    keys, stats = jax.vmap(one)(
+        vmap_state.keys, vmap_state.stats, vsizes, halves,
     )
-    return VoxelMap(keys=keys, rec=rec, stats=stats)
+    return _refresh(keys, stats, cfg)

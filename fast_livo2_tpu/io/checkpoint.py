@@ -46,7 +46,7 @@ def save(path: str, pipeline) -> None:
                       else float(pipeline._packet_t0)),
         "prefetch_t": (None if pipeline._prefetch is None
                        else float(pipeline._prefetch[0])),
-        "version": 4,
+        "version": 5,  # v5: VoxelMap = (keys, stats, rec-cache)
     }
     # v3: the one-ahead packet prefetch (pipeline._prefetch_next) has
     # already destructively consumed `pending` for the next event — a
@@ -107,6 +107,10 @@ def load(path: str, pipeline) -> None:
         pipeline.noise = imu_mod.make_noise()
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
+    if meta.get("version", 1) < 5:
+        raise ValueError(
+            "checkpoint predates the r5 voxel-map layout (keys, stats, "
+            "rec-cache); re-run the producing session to regenerate")
     tree = {
         "packed": pipeline.packed,
         "vmap": pipeline.vmap_state,

@@ -155,7 +155,7 @@ def sharded_map_arrays(map_cfg: vm.VoxelMapConfig, mesh: Mesh,
     spec = NamedSharding(mesh, P(None, axis))
     keys = jax.device_put(
         jnp.full((L, C, 3), vm.EMPTY, jnp.int32), spec)
-    rec = jax.device_put(jnp.zeros((L, C, vm.REC_W), jnp.float32), spec)
     stats = jax.device_put(
         jnp.zeros((L, C, vm.STATS_W), jnp.float32), spec)
-    return vm.VoxelMap(keys=keys, rec=rec, stats=stats)
+    rec = jax.device_put(jnp.zeros((L, C, vm.REC_W), jnp.float32), spec)
+    return vm.VoxelMap(keys=keys, stats=stats, rec=rec)

@@ -57,7 +57,7 @@ def outdoor_seq(seed, duration):
 
 def census(pipe):
     """Per-layer topology counts from the live map."""
-    rec = np.asarray(pipe.vmap_state.rec)
+    rec = np.asarray(vm.derive_rec(pipe.vmap_state, pipe.map_cfg))
     keys = np.asarray(pipe.vmap_state.keys)
     rows = []
     for l in range(rec.shape[0]):
@@ -200,7 +200,7 @@ def main():
     gt_map, probes = gt_map_quality(seq, pipe.map_cfg)
     match_histogram(gt_map, pipe.map_cfg, probes,
                     "GT-built map vs held-out GT probes")
-    rec = np.asarray(gt_map.rec)
+    rec = np.asarray(vm.derive_rec(gt_map, pipe.map_cfg))
     keys = np.asarray(gt_map.keys)
     print("== GT-built map census")
     for l in range(rec.shape[0]):

@@ -29,9 +29,10 @@ def export_plane_ply(vmap_state, map_cfg, path: str, segments: int = 8,
 
     verts, faces, cols = [], [], []
     n_off = 0
+    rec_all = np.asarray(vm.derive_rec(vmap_state, map_cfg))
     for layer in range(vmap_state.keys.shape[0]):
         keys = np.asarray(vmap_state.keys[layer])
-        rec = np.asarray(vmap_state.rec[layer])
+        rec = rec_all[layer]
         used = (keys != vm.EMPTY).all(-1)
         is_pl = (rec[:, 0] > 0.5) & used  # _ISPL slot
         idx = np.where(is_pl)[0]

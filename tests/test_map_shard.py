@@ -76,6 +76,6 @@ def test_sharded_map_lifts_memory_ceiling():
     m = map_shard.sharded_map_arrays(cfg, mesh)
     C = 1 << cfg.capacity_log2
     assert m.keys.shape == (2, C, 3)
-    for arr in (m.keys, m.rec, m.stats):
+    for arr in (m.keys, m.stats):
         shard_rows = {s.data.shape[1] for s in arr.addressable_shards}
         assert shard_rows == {C // 8}, shard_rows

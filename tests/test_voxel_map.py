@@ -236,9 +236,10 @@ def test_descend_compacted_insert_matches_full():
         np.testing.assert_allclose(np.asarray(m_full.stats),
                                    np.asarray(m_desc.stats),
                                    rtol=1e-6, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(m_full.rec),
-                                   np.asarray(m_desc.rec),
-                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(vm.derive_rec(m_full, cfg_full)),
+            np.asarray(vm.derive_rec(m_desc, cfg_desc)),
+            rtol=1e-5, atol=1e-5)
         m0 = m_full
 
     # Overflow variant: descend_compact smaller than the descending count
@@ -292,7 +293,7 @@ def test_topology_states_and_pre_descent():
     for _ in range(3):  # descent gates read PRE-insert state
         m = vm.update_map(m, pts, var, valid, cfg)
 
-    rec0 = np.asarray(m.rec[0])
+    rec0 = np.asarray(vm.derive_rec(m, cfg)[0])
     keys0 = np.asarray(m.keys[0])
     occ0 = keys0[:, 0] != vm.EMPTY
 
@@ -337,7 +338,7 @@ def test_topology_states_and_pre_descent():
     ms = vm.make_map(cfg_s)
     for _ in range(2):
         ms = vm.update_map(ms, pts, var, valid, cfg_s)
-    rec0s = np.asarray(ms.rec[0])
+    rec0s = np.asarray(vm.derive_rec(ms, cfg_s)[0])
     keys0s = np.asarray(ms.keys[0])
     occ0s = keys0s[:, 0] != vm.EMPTY
     k_slab = np.floor(np.array([2.5, 2.5, 0.0])).astype(np.int32)
@@ -351,7 +352,7 @@ def test_topology_states_and_pre_descent():
     # parent, the deepest candidate wins (layer field reports it).
     # Query exactly at fitted child-plane centers (any other point is
     # legitimately 3-sigma-gated away from the child's thin fit).
-    rec1 = np.asarray(m.rec[1])
+    rec1 = np.asarray(vm.derive_rec(m, cfg)[1])
     child_pl = occ1 & (rec1[:, vm._ISPL] > 0.5) & (
         np.abs(keys1[:, 0] // 2 - 4) <= 1)  # children under the marg voxel
     assert child_pl.any(), "no fitted child planes under the marginal voxel"
