@@ -151,6 +151,7 @@ class LIVOPipeline:
             raycast_en=cfg.vio.raycast_en,
             inverse_composition_en=cfg.vio.inverse_composition_en,
             true_pyramid=t.true_pyramid,
+            pallas_photo=t.pallas_photo,
         )
         ext = cfg.extrin_calib
         self.ext_R = jnp.asarray(np.array(ext.extrinsic_R, np.float32).reshape(3, 3))

@@ -47,6 +47,10 @@ import jax.numpy as jnp
 
 from ..models import camera as cam_mod
 from ..ops import image as img_ops
+from ..ops import pallas_photo
+
+_PALLAS_ON_CPU = False  # test override: run the fused photometric
+# kernel interpreted on CPU (tests/test_pallas_photo.py)
 from ..ops import so3
 from ..ops.precision import hi_precision
 from .state import DIM_STATE, NavState, boxminus, boxplus
@@ -106,6 +110,8 @@ class VIOConfig(NamedTuple):
     # (ops/image.box_stack) instead of the reference's raw strided
     # level-0 taps in the photometric update. A/B'd under sensor-
     # realistic noise in tests/test_pyramid_ab.py.
+    pallas_photo: bool = False  # one fused Pallas kernel per photometric
+    # iteration (ops/pallas_photo); pinhole + raw-strided sampling only.
     # map maintenance
     select_obs_gap_p: float = 0.5  # delta_p threshold (:939)
     select_obs_gap_theta: float = 0.3
@@ -529,47 +535,75 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
         img_stack = img_ops.box_stack(img, cfg.pyramid_levels + 2)
     else:
         img_stack = None
+    # The fused kernel only pays on real TPUs; on CPU hosts pallas
+    # falls back to the (slow) interpreter, so the long CPU test runs
+    # keep the XLA path. tests/test_pallas_photo.py flips the module
+    # override to exercise the kernel end-to-end interpreted.
+    use_pallas = (cfg.pallas_photo and not cfg.true_pyramid
+                  and cam.model == "pinhole" and ps == 8
+                  and (jax.default_backend() == "tpu" or _PALLAS_ON_CPU))
 
     for level in reversed(range(cfg.pyramid_levels)):
         scale = (1 << level) * (2 ** submap.search_level.astype(jnp.int32))
         eff_lvl = level + submap.search_level.astype(jnp.int32)
         inv_scale = 1.0 / scale.astype(f32)
         ref = submap.ref_expo[:, None] * submap.warp_patch[:, level, :]
+        pts_pack_l = (pallas_photo.pack_points(
+            submap.pos, ref, eff_lvl, submap.valid, ps)
+            if use_pallas else None)  # (meta, ref_patch) pair
 
         def iter_body(carry, scale=scale, inv_scale=inv_scale, ref=ref,
-                      eff_lvl=eff_lvl):
+                      eff_lvl=eff_lvl, pts_pack=pts_pack_l):
             it, state, old_state, last_error, stop, G_keep, final_err = carry
             Rcw, Pcw = camera_pose(state, Rci, Pci)
             Jdp_dt = Rcw  # Rci @ Rwi^T (:1544)
-            pf = submap.pos @ Rcw.T + Pcw
-            px = cam_mod.world2cam(cam, pf)
-            ok = submap.valid & (pf[:, 2] > 1e-6)
-            if cfg.true_pyramid:
-                val, du, dv = img_ops.sample_patches_with_grad(
-                    img_stack, px, scale, ps, img_idx=eff_lvl)
-            else:
-                val, du, dv = img_ops.sample_patches_with_grad(
-                    img, px, scale, ps)
-
             tau = state.inv_expo
-            Jimg = jnp.stack([du, dv], axis=-1) * (tau * inv_scale[:, None])[..., None]
-            Jdpi = cam_mod.projection_jacobian(cam, pf)  # (M, 2, 3)
-            p_hat = so3.skew(pf)
-            Jca = jnp.einsum("mpi,mij->mpj", Jimg, Jdpi)  # (M, ps², 3)
-            Jdphi = jnp.einsum("mpi,mij->mpj", Jca, p_hat)
-            JdR = jnp.einsum("mpi,ij->mpj", Jdphi, Jdphi_dR) + jnp.einsum(
-                "mpi,ij->mpj", -Jca, Jdp_dR
-            )
-            Jdt = jnp.einsum("mpi,ij->mpj", -Jca, Jdp_dt)
-            res = tau * val - ref
-            Hcol = (val * expo_col)[..., None]
-            H = jnp.concatenate([JdR, Jdt, Hcol], axis=-1)  # (M, ps², 7)
+            if use_pallas:
+                # One fused kernel: project + strided sample + Jacobian
+                # chain + masked 7x7 reduction (ops/pallas_photo).
+                par = pallas_photo.pack_params(
+                    Rcw.astype(jnp.float32), Pcw.astype(jnp.float32),
+                    tau.astype(jnp.float32),
+                    Jdphi_dR.astype(jnp.float32),
+                    Jdp_dR.astype(jnp.float32),
+                    cam.fx, cam.fy, cam.cx, cam.cy,
+                    jnp.asarray(cam.d, jnp.float32), expo_col,
+                    1.0 if cam_mod.has_distortion(cam) else 0.0)
+                HTH7, HTz7, err_sum, _ = pallas_photo.photo_iteration(
+                    img.astype(jnp.float32), pts_pack[0], pts_pack[1],
+                    par, ps)
+                HTH7 = HTH7.astype(f32)
+                HTz7 = HTz7.astype(f32)
+                error = err_sum.astype(f32) / n_meas
+            else:
+                pf = submap.pos @ Rcw.T + Pcw
+                px = cam_mod.world2cam(cam, pf)
+                ok = submap.valid & (pf[:, 2] > 1e-6)
+                if cfg.true_pyramid:
+                    val, du, dv = img_ops.sample_patches_with_grad(
+                        img_stack, px, scale, ps, img_idx=eff_lvl)
+                else:
+                    val, du, dv = img_ops.sample_patches_with_grad(
+                        img, px, scale, ps)
 
-            w = ok.astype(f32)[:, None]
-            error = jnp.sum(w * res * res) / n_meas
+                Jimg = jnp.stack([du, dv], axis=-1) * (tau * inv_scale[:, None])[..., None]
+                Jdpi = cam_mod.projection_jacobian(cam, pf)  # (M, 2, 3)
+                p_hat = so3.skew(pf)
+                Jca = jnp.einsum("mpi,mij->mpj", Jimg, Jdpi)  # (M, ps², 3)
+                Jdphi = jnp.einsum("mpi,mij->mpj", Jca, p_hat)
+                JdR = jnp.einsum("mpi,ij->mpj", Jdphi, Jdphi_dR) + jnp.einsum(
+                    "mpi,ij->mpj", -Jca, Jdp_dR
+                )
+                Jdt = jnp.einsum("mpi,ij->mpj", -Jca, Jdp_dt)
+                res = tau * val - ref
+                Hcol = (val * expo_col)[..., None]
+                H = jnp.concatenate([JdR, Jdt, Hcol], axis=-1)  # (M, ps², 7)
 
-            HTH7 = jnp.einsum("mpi,mpj,m->ij", H, H, ok.astype(f32))
-            HTz7 = jnp.einsum("mpi,mp,m->i", H, res, ok.astype(f32))
+                w = ok.astype(f32)[:, None]
+                error = jnp.sum(w * res * res) / n_meas
+
+                HTH7 = jnp.einsum("mpi,mpj,m->ij", H, H, ok.astype(f32))
+                HTz7 = jnp.einsum("mpi,mp,m->i", H, res, ok.astype(f32))
             HTH = jnp.zeros((DIM_STATE, DIM_STATE), f32).at[0:7, 0:7].set(HTH7)
             K_1 = jnp.linalg.inv(HTH + P_scaled_inv)
             G = jnp.zeros((DIM_STATE, DIM_STATE), f32).at[:, 0:7].set(

@@ -251,6 +251,14 @@ class TPUParams:
     # aliased box-average pyramid levels instead of raw strided level-0
     # taps (the reference's behavior). See ops/image.box_stack and the
     # measured A/B in tests/test_pyramid_ab.py.
+    pallas_photo: bool = True  # fuse each photometric ESIKF iteration
+    # (strided sample + Jacobian chain + masked 7x7 normal equations)
+    # into ONE Pallas kernel (ops/pallas_photo) instead of the ~40-op
+    # XLA chain. Pinhole + raw-strided sampling only (fisheye and
+    # true_pyramid fall back to the XLA path automatically). Measured
+    # on-chip (scripts/device_floor.py): 2.39 -> 1.76 ms per frame at
+    # avia scale; end-to-end trajectory parity is sub-mm
+    # (tests/test_pallas_photo.py).
     stage_timing: bool = False  # per-frame per-stage device timing: run
     # the frame as separate blocking stage programs (propagate/undistort/
     # downsample/LIO/map/VIO) and record each stage's ms in FrameLog —

@@ -163,6 +163,17 @@ def main():
 
     rows.append(("photometric_update", slope(photo)))
 
+    # the fused Pallas variant (r5, VERDICT item 5): same update with
+    # every iteration's sample+Jacobian+reduce in one kernel
+    vcfg_p = vcfg._replace(pallas_photo=True)
+
+    def photo_pallas(eps):
+        st, cv, err = vio_mod.photometric_update(
+            state, cov, submap, img + eps, camm, Rci, Pci, vcfg_p)
+        return err + st.pos[0]
+
+    rows.append(("photometric_update (pallas)", slope(photo_pallas)))
+
     # generate + maintain
     def gen(eps):
         pl2, upd, n_added = vio_mod.generate_and_maintain(
