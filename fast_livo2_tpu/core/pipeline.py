@@ -486,7 +486,9 @@ class LIVOPipeline:
         (tpu.wire_q16: int16 xyz at per-packet scale + uint16 offsets +
         a valid count — 8 B/point on the transfer-bound remote link)."""
         if self.cfg.tpu.wire_q16:
-            q, meta = pts_pack
+            q = pts_pack[:-2]
+            meta = jax.lax.bitcast_convert_type(
+                pts_pack[-2:].reshape(4, 2), jnp.float32)
             pts = q[:, 0:3].astype(jnp.float32) * meta[0]
             offs_u = q[:, 3].astype(jnp.int32) & 0xFFFF  # uint16 bitcast
             t_offs = offs_u.astype(jnp.float32) * (meta[1] / 65535.0)
@@ -721,12 +723,16 @@ class LIVOPipeline:
         if cfg.wire_q16:
             dur = max(float(t_end - t0), 1e-6)
             scale = max(float(np.abs(pts[:k]).max()) if k else 0.0, 1e-3) / 32766.0
-            q = np.zeros((n, 4), np.int16)
+            # meta rides as the last two int16 rows of the SAME array
+            # (bitcast f32 -> 2x int16): one h2d per packet instead of
+            # two — each put is a relay RPC on this link.
+            q = np.zeros((n + 2, 4), np.int16)
             q[:k, 0:3] = np.clip(np.round(pts[:k] / scale), -32766, 32766)
             q[:k, 3] = np.clip(np.round(offs[:k] / dur * 65535.0),
                                0, 65535).astype(np.uint16).view(np.int16)
-            meta = np.array([scale, dur, k, 0.0], np.float32)
-            return imu_pack, (self._put(q), self._put(meta))
+            q[n:] = np.array([scale, dur, k, 0.0],
+                             np.float32).view(np.int16).reshape(2, 4)
+            return imu_pack, self._put(q)
         pack = np.zeros((n, 5), np.float32)
         pack[:k, 0:3] = pts[:k]
         pack[:k, 3] = offs[:k]

@@ -56,7 +56,7 @@ def save(path: str, pipeline) -> None:
     if pipeline._prefetch is not None:
         _, (imu_pack, pts_pack) = pipeline._prefetch
         arrays["prefetch_imu"] = np.asarray(imu_pack)
-        if isinstance(pts_pack, tuple):  # tpu.wire_q16 packet (q, meta)
+        if isinstance(pts_pack, tuple):  # pre-v5 wire_q16 (q, meta)
             arrays["prefetch_pts"] = np.asarray(pts_pack[0])
             arrays["prefetch_pts_meta"] = np.asarray(pts_pack[1])
         else:
