@@ -539,8 +539,13 @@ def photometric_update(state_prop: NavState, cov_prop, submap: Submap, img,
     # falls back to the (slow) interpreter, so the long CPU test runs
     # keep the XLA path. tests/test_pallas_photo.py flips the module
     # override to exercise the kernel end-to-end interpreted.
+    # M-gate: the kernel's grid is one sequential program per point, so
+    # it wins where the XLA chain is launch-bound (M <= ~384: measured
+    # 2.39 -> 1.76 ms at avia's M=396) and loses where XLA's batched
+    # gathers amortize (measured 1.27 vs 2.04 ms at dense's M=512).
     use_pallas = (cfg.pallas_photo and not cfg.true_pyramid
                   and cam.model == "pinhole" and ps == 8
+                  and submap.pos.shape[0] <= 448
                   and (jax.default_backend() == "tpu" or _PALLAS_ON_CPU))
 
     for level in reversed(range(cfg.pyramid_levels)):

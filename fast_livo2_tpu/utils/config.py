@@ -255,10 +255,12 @@ class TPUParams:
     # (strided sample + Jacobian chain + masked 7x7 normal equations)
     # into ONE Pallas kernel (ops/pallas_photo) instead of the ~40-op
     # XLA chain. Pinhole + raw-strided sampling only (fisheye and
-    # true_pyramid fall back to the XLA path automatically). Measured
-    # on-chip (scripts/device_floor.py): 2.39 -> 1.76 ms per frame at
-    # avia scale; end-to-end trajectory parity is sub-mm
-    # (tests/test_pallas_photo.py).
+    # true_pyramid fall back to the XLA path automatically, as do
+    # frames tracking > 448 points — the one-program-per-point grid
+    # wins in the launch-bound regime, measured 2.39 -> 1.76 ms at
+    # avia's M=396 but 2.04 vs 1.27 at dense's M=512 where XLA's
+    # batched gathers amortize). End-to-end trajectory parity is
+    # sub-mm (tests/test_pallas_photo.py).
     stage_timing: bool = False  # per-frame per-stage device timing: run
     # the frame as separate blocking stage programs (propagate/undistort/
     # downsample/LIO/map/VIO) and record each stage's ms in FrameLog —

@@ -367,3 +367,30 @@ def test_topology_states_and_pre_descent():
     mtc = vm.match_planes(m, qc, vqc, jnp.ones(qc.shape[0], bool), cfg)
     layc = np.asarray(mtc.layer)[np.asarray(mtc.valid)]
     assert (layc == 0).all()
+
+
+def test_rec_cache_coherent_after_mutations():
+    """The rec CACHE invariant (r5): after every mutation path
+    (update_map full, compacted, descend; slide_map) the stored rec
+    equals a fresh derivation from (keys, stats)."""
+    rng = np.random.default_rng(11)
+    cfg = vm.VoxelMapConfig(voxel_size=1.0, n_layers=2, capacity_log2=10,
+                            layer_init_num=(4, 4), insert_compact=64,
+                            descend_compact=128)
+    pts = rng.uniform(-6, 6, (500, 3)).astype(np.float32)
+    pts[:, 2] = np.round(pts[:, 2]) + 0.01 * rng.standard_normal(500).astype(
+        np.float32)
+    var = jnp.tile(jnp.eye(3, dtype=jnp.float32) * 1e-4, (500, 1, 1))
+    valid = jnp.ones(500, bool)
+
+    m = vm.make_map(cfg)
+    for compact in (False, True, True):
+        m = vm.update_map(m, jnp.asarray(pts), var, valid, cfg,
+                          compact=compact)
+        np.testing.assert_allclose(np.asarray(m.rec),
+                                   np.asarray(vm.derive_rec(m, cfg)),
+                                   rtol=1e-6, atol=1e-6)
+    m = vm.slide_map(m, jnp.asarray([0.0, 0.0, 0.0]), 3, cfg)
+    np.testing.assert_allclose(np.asarray(m.rec),
+                               np.asarray(vm.derive_rec(m, cfg)),
+                               rtol=1e-6, atol=1e-6)
